@@ -1,0 +1,79 @@
+"""Synchronous label propagation.
+
+Each round, every vertex adopts the most frequent label among its
+(undirected) neighbors; ties break to the MIN label (deterministic —
+the engine's answer to the float-grouping-order hazard flagged in
+SURVEY.md §7); isolated vertices keep their own label. Labels start as
+vertex ids. Runs a fixed maximum of rounds, stopping early at a
+fixpoint; the numpy fixture applies the identical rule, so results are
+exact-comparable.
+
+Superstep = join(labels on neighbor) + groupBy(vertex,label).count +
+max_by(struct(count, -label)) — two shuffles. Deterministic tie-break
+is encoded in the max_by struct ordering, not in row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph_spark.checkpoint import CheckpointManager
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 10,
+    ckpt: CheckpointManager | None = None,
+) -> tuple[DataFrame, dict]:
+    """Returns (labels(vertex_id, label), info)."""
+    spark = edges.sparkSession
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionAll(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    if vertices is None:
+        vertices = sym.select(F.col("src").alias("vertex_id")).dropDuplicates(["vertex_id"])
+    verts = vertices.select("vertex_id")
+    labels = verts.select("vertex_id", F.col("vertex_id").alias("label"))
+    labels = labels.localCheckpoint() if ckpt is None else ckpt.save("lp", -1, labels)
+
+    info = {"iterations": 0, "converged": False}
+    for it in range(max_iter):
+        nbr_labels = sym.join(
+            labels.select(F.col("vertex_id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("vertex_id"), "label")
+        freq = nbr_labels.groupBy("vertex_id", "label").agg(F.count("*").alias("cnt"))
+        # argmax by count, tie -> min label: max_by over (cnt, -label)
+        best = freq.groupBy("vertex_id").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
+        )
+        new_labels = (
+            labels.join(best, "vertex_id", "left")
+            .select(
+                "vertex_id",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias("_changed"),
+            )
+        )
+        new_labels = (
+            new_labels.localCheckpoint() if ckpt is None else ckpt.save("lp", it, new_labels)
+        )
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.select("vertex_id", "label")
+        info["iterations"] = it + 1
+        if changed == 0:
+            info["converged"] = True
+            break
+    sym.unpersist()
+    return labels, info
