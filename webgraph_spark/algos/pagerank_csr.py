@@ -1,0 +1,150 @@
+"""PageRank over CSR blocks: vectorized gather-scatter kernel path.
+
+Differential twin of algos/pagerank.py (same semantics, same fixture),
+but the per-superstep contribution pass runs as a cogrouped
+applyInPandas kernel over (CSR block, rank slice) pairs:
+
+  - ranks are routed to their block by binary search over the block
+    boundary table (tiny, a closure constant — the analog of the
+    reference's offsets[x] random access, ascii_graph/mod.rs:314),
+  - inside the kernel: varint+zigzag+gap decode (codec.py), gather
+    r[src]/outdeg, scatter-add into per-dst partials with
+    np.unique+bincount (map-side combine BEFORE the dst shuffle).
+
+One shuffle routes ranks to blocks, one aggregates partials by dst —
+the same two-shuffle superstep as the DataFrame path, with the join
+replaced by an O(1) array gather per edge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from webgraph_spark.checkpoint import CheckpointManager
+from webgraph_spark.codec import decode_adjacency
+from webgraph_spark.csr import build_csr, csr_out_degrees
+
+
+def pagerank_csr(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_blocks: int | None = None,
+    ckpt: CheckpointManager | None = None,
+) -> tuple[DataFrame, dict]:
+    spark = edges.sparkSession
+    p = num_blocks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    blocks = build_csr(edges, p).persist()
+    bounds = sorted(
+        (r.node_lo, r.node_hi) for r in blocks.select("node_lo", "node_hi").collect()
+    )
+    los = np.array([b[0] for b in bounds], dtype=np.int64)
+    his = np.array([b[1] for b in bounds], dtype=np.int64)
+
+    # re-key blocks by their rank in node_lo order (stable block index)
+    lo_to_idx = {int(lo): i for i, (lo, _) in enumerate(bounds)}
+    idx_map = spark.createDataFrame(
+        [(int(lo), i) for lo, i in lo_to_idx.items()], "node_lo long, block_idx int"
+    )
+    blocks_k = blocks.join(F.broadcast(idx_map), "node_lo").persist()
+    blocks_k.count()
+
+    @F.pandas_udf(T.IntegerType())
+    def block_of(vid: pd.Series) -> pd.Series:
+        v = vid.to_numpy()
+        i = np.searchsorted(los, v, side="right") - 1
+        ok = (i >= 0) & (v <= his[np.clip(i, 0, len(his) - 1)])
+        return pd.Series(np.where(ok, i, -1).astype(np.int32))
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("vertex_id"))
+            .unionAll(edges.select(F.col("dst").alias("vertex_id")))
+            .dropDuplicates(["vertex_id"])
+        )
+    verts = vertices.select("vertex_id")
+    n = verts.count()
+    deg = csr_out_degrees(blocks_k)
+
+    ranks = (
+        verts.select("vertex_id", F.lit(1.0 / n).alias("rank"))
+        .join(
+            deg.select(F.col("src").alias("vertex_id"), F.lit(False).alias("is_dangling")),
+            "vertex_id",
+            "left",
+        )
+        .select(
+            "vertex_id", "rank",
+            F.coalesce("is_dangling", F.lit(True)).alias("is_dangling"),
+        )
+        .withColumn("block_idx", block_of(F.col("vertex_id")))
+        .localCheckpoint()
+    )
+    dang = ranks.filter("is_dangling").agg(F.sum("rank").alias("s")).first()["s"] or 0.0
+
+    def kernel(key, block_pdf: pd.DataFrame, ranks_pdf: pd.DataFrame) -> pd.DataFrame:
+        if block_pdf.empty or ranks_pdf.empty:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="float64")})
+        row = block_pdf.iloc[0]
+        lo = int(row.node_lo)
+        indptr = np.asarray(row.indptr, dtype=np.int64)
+        counts = np.diff(indptr)
+        nodes = np.arange(lo, lo + counts.size, dtype=np.int64)
+        dst = decode_adjacency(row.indices, nodes, counts)
+        r = np.zeros(counts.size, dtype=np.float64)
+        vid = ranks_pdf["vertex_id"].to_numpy() - lo
+        r[vid] = ranks_pdf["rank"].to_numpy()
+        nz = counts > 0
+        per_edge = np.repeat(r[nz] / counts[nz], counts[nz])
+        uniq, inv = np.unique(dst, return_inverse=True)
+        sums = np.bincount(inv, weights=per_edge)
+        return pd.DataFrame({"dst": uniq, "c": sums})
+
+    info = {"iterations": 0, "converged": False, "deltas": [], "n": n,
+            "n_blocks": len(bounds)}
+    for it in range(max_iter):
+        contrib = (
+            blocks_k.groupby("block_idx")
+            .cogroup(ranks.filter(F.col("block_idx") >= 0).groupby("block_idx"))
+            .applyInPandas(kernel, schema="dst long, c double")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = (1.0 - alpha) / n + alpha * dang / n
+        joined = (
+            ranks.join(contrib, ranks.vertex_id == contrib.dst, "left")
+            .select(
+                "vertex_id",
+                F.col("rank").alias("_old"),
+                (F.lit(base) + F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+                "is_dangling",
+                "block_idx",
+            )
+        )
+        joined = (
+            ckpt.save("pagerank_csr", it, joined) if ckpt is not None
+            else joined.localCheckpoint()
+        )
+        stats = joined.agg(
+            F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dang"),
+        ).first()
+        delta, dang = float(stats["delta"]), float(stats["dang"] or 0.0)
+        ranks = joined.select("vertex_id", "rank", "is_dangling", "block_idx")
+        info["iterations"] = it + 1
+        info["deltas"].append(delta)
+        if delta <= tol:
+            info["converged"] = True
+            break
+
+    blocks.unpersist()
+    blocks_k.unpersist()
+    return ranks.select("vertex_id", "rank"), info

@@ -1,0 +1,162 @@
+"""Per-partition CSR blocks with WebGraph-style compaction in Arrow buffers.
+
+The engine's analog of the reference's two physical forms:
+  - AsciiGraph CSR (graph_memory + offsets, /root/reference/src/
+    ascii_graph/mod.rs:8-20,307-331)  -> indptr + packed indices
+  - BVGraph compressed bitstream (src/webgraph/bvgraph.rs:18-67)
+    -> gap + zig-zag + varint bytes (codec.py) inside a BinaryType
+    column, one row per range partition of the src space.
+
+Build: repartitionByRange('src') + sortWithinPartitions('src','dst')
+-> mapInArrow pack kernel (vectorized numpy, zero per-row Python).
+Each output row is one block:
+    (part_id int, node_lo long, node_hi long, n_nodes long,
+     n_edges long, indptr array<long>, indices binary,
+     input_rows long, bytes long)
+indptr[i+1]-indptr[i] = outdegree of node (node_lo + i) — the analog of
+the reference's offsets array, recomputable by prefix-sum like
+bin/generate_offsets.rs. Blocks cover disjoint contiguous src ranges,
+so point successor queries prune to a single block via the min/max
+column filter (the Spark equivalent of offsets[x] random access).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph_spark.codec import decode_adjacency, encode_adjacency
+
+CSR_SCHEMA = (
+    "part_id int, node_lo long, node_hi long, n_nodes long, n_edges long, "
+    "indptr array<long>, indices binary, input_rows long, bytes long"
+)
+
+_ARROW_CSR = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("node_lo", pa.int64()),
+        ("node_hi", pa.int64()),
+        ("n_nodes", pa.int64()),
+        ("n_edges", pa.int64()),
+        ("indptr", pa.list_(pa.int64())),
+        ("indices", pa.binary()),
+        ("input_rows", pa.int64()),
+        ("bytes", pa.int64()),
+    ]
+)
+
+
+def _pack_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    srcs, dsts, nrows = [], [], 0
+    for b in batches:
+        srcs.append(b.column(0).to_numpy(zero_copy_only=False))
+        dsts.append(b.column(1).to_numpy(zero_copy_only=False))
+        nrows += b.num_rows
+    if nrows == 0:
+        return
+    src = np.concatenate(srcs).astype(np.int64)
+    dst = np.concatenate(dsts).astype(np.int64)
+    # partition data arrives sorted by (src, dst) from sortWithinPartitions
+    lo, hi = int(src[0]), int(src[-1])
+    counts = np.bincount(src - lo, minlength=hi - lo + 1).astype(np.int64)
+    node_ids = np.arange(lo, hi + 1, dtype=np.int64)
+    buf = encode_adjacency(node_ids, counts, dst)
+    indptr = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+    yield pa.RecordBatch.from_pydict(
+        {
+            "part_id": [pid],
+            "node_lo": [lo],
+            "node_hi": [hi],
+            "n_nodes": [hi - lo + 1],
+            "n_edges": [int(nrows)],
+            "indptr": [indptr.tolist()],
+            "indices": [buf],
+            "input_rows": [int(nrows)],
+            "bytes": [len(buf)],
+        },
+        schema=_ARROW_CSR,
+    )
+
+
+def build_csr(edges: DataFrame, num_blocks: int | None = None) -> DataFrame:
+    """edges(src, dst) -> CSR block table (one row per range partition)."""
+    p = num_blocks or int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    prepared = edges.repartitionByRange(p, "src").sortWithinPartitions("src", "dst")
+    return prepared.mapInArrow(_pack_partition, schema=CSR_SCHEMA)
+
+
+def _unpack_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for b in batches:
+        d = b.to_pydict()
+        for i in range(b.num_rows):
+            lo = d["node_lo"][i]
+            indptr = np.asarray(d["indptr"][i], dtype=np.int64)
+            counts = np.diff(indptr)
+            nodes = np.arange(lo, lo + counts.size, dtype=np.int64)
+            dst = decode_adjacency(d["indices"][i], nodes, counts)
+            src = np.repeat(nodes, counts)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(src, pa.int64()), pa.array(dst, pa.int64())],
+                names=["src", "dst"],
+            )
+
+
+def decode_csr(blocks: DataFrame) -> DataFrame:
+    """CSR block table -> edges(src, dst). Inverse of build_csr."""
+    return blocks.mapInArrow(_unpack_partition, schema="src long, dst long")
+
+
+def csr_successors(blocks: DataFrame, node: int) -> DataFrame:
+    """Random-access successor query over CSR (reference O6/O7,
+    bvgraph.rs:143-146,732-978). The node_lo/node_hi filter prunes to
+    one block via parquet min/max stats before any Python runs."""
+    hit = blocks.filter(
+        (F.col("node_lo") <= F.lit(node)) & (F.col("node_hi") >= F.lit(node))
+    )
+
+    def _decode_one(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            d = b.to_pydict()
+            for i in range(b.num_rows):
+                lo = d["node_lo"][i]
+                indptr = np.asarray(d["indptr"][i], dtype=np.int64)
+                counts = np.diff(indptr)
+                nodes = np.arange(lo, lo + counts.size, dtype=np.int64)
+                dst = decode_adjacency(d["indices"][i], nodes, counts)
+                s, e = indptr[node - lo], indptr[node - lo + 1]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(dst[s:e], pa.int64())], names=["dst"]
+                )
+
+    return hit.mapInArrow(_decode_one, schema="dst long")
+
+
+def csr_out_degrees(blocks: DataFrame) -> DataFrame:
+    """Outdegrees straight from indptr diffs (reference O5/O14 analog:
+    offsets regeneration by prefix sums, bin/generate_offsets.rs:14-63)."""
+
+    def _deg(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            d = b.to_pydict()
+            for i in range(b.num_rows):
+                lo = d["node_lo"][i]
+                indptr = np.asarray(d["indptr"][i], dtype=np.int64)
+                counts = np.diff(indptr)
+                nz = counts > 0
+                nodes = np.arange(lo, lo + counts.size, dtype=np.int64)[nz]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(nodes, pa.int64()), pa.array(counts[nz], pa.int64())],
+                    names=["src", "outdeg"],
+                )
+
+    return blocks.mapInArrow(_deg, schema="src long, outdeg long")
