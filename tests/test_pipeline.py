@@ -1,0 +1,178 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webgraph_spark.pipeline.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+    simhash_signatures,
+)
+from webgraph_spark.pipeline.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+from webgraph_spark.pipeline.similarity import brute_force_topk, lsh_topk
+from webgraph_spark.pipeline.text import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+WORDS = (
+    "the quick brown fox jumps over lazy dog spark table join scan filter "
+    "merge sort window batch stream hash key value row column query"
+).split()
+
+
+def _mk_docs(spark, n=60, seed=5, plant_dups=True):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        toks = rng.choice(WORDS, size=int(rng.integers(30, 80))).tolist()
+        rows.append((i, " ".join(toks)))
+    if plant_dups:
+        # exact dup of doc 0; near-dup of doc 1 (one token changed)
+        rows.append((n, rows[0][1]))
+        near = rows[1][1].split()
+        near[len(near) // 2] = "zzz"
+        rows.append((n + 1, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    docs = _mk_docs(spark, 40)
+    groups = exact_dup_groups(docs)
+    dups = groups.filter("n_docs > 1").collect()
+    assert len(dups) == 1
+    assert dups[0].n_docs == 2 and dups[0].min_doc_id == 0
+    kept = exact_dedup(docs)
+    assert kept.count() == 41  # 42 rows, one dup removed
+    assert kept.filter("doc_id = 40").count() == 0  # rep is min doc_id
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark):
+    docs = _mk_docs(spark, 40)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()}
+    assert (0, 40) in pairs and pairs[(0, 40)] == 1.0
+    assert (1, 41) in pairs and pairs[(1, 41)] > 0.5
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    docs = _mk_docs(spark, 40)
+    cands = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs).collect()}
+    assert (0, 40) in cands and (1, 41) in cands
+    verified = {(r.doc_a, r.doc_b) for r in
+                minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    truth = {(r.doc_a, r.doc_b) for r in
+             ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()}
+    assert verified <= truth          # verification kills false positives
+    assert {(0, 40), (1, 41)} <= verified
+
+
+def test_simhash(spark):
+    docs = _mk_docs(spark, 40)
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[40]  # identical text -> identical signature
+    # near-dup differs in few bits -> caught by 16-bit banding
+    cands = {(r.doc_a, r.doc_b) for r in simhash_candidates(docs).collect()}
+    assert (0, 40) in cands and (1, 41) in cands
+
+
+def test_token_and_quality_and_lang(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der baum"),
+            (3, ""),
+            (4, "   "),
+            (5, "le chat et la maison et le chien"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = {r.doc_id: r.n_tokens for r in token_counts(docs).collect()}
+    assert toks == {1: 8, 2: 8, 3: 0, 4: 0, 5: 8}
+    langs = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[5] == "fr"
+    assert langs[3] == "und"
+    q = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert 0 < q[1].quality <= 1.0
+    assert q[1].stop_ratio > q[2].stop_ratio
+
+
+def test_fingerprints_deterministic_and_discriminative(spark):
+    docs = _mk_docs(spark, 20)
+    a = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
+    b = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
+    assert a == b
+    assert a[0] == a[20]  # exact dup
+    assert len(set(a.values())) == len(a) - 1  # everything else distinct
+
+
+def _mk_emb(spark, n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((5, dim))
+    rows = []
+    for i in range(n):
+        c = centers[i % 5]
+        v = c + 0.05 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb, rows = _mk_emb(spark)
+    queries = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:3]], "query_id long, q_embedding array<float>"
+    )
+    got = brute_force_topk(emb, queries, k=5).collect()
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in range(3):
+        sims = Mn @ Mn[qid]
+        sims[qid] = -np.inf
+        order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        mine = [r.neighbor_id for r in sorted(
+            (x for x in got if x.query_id == qid), key=lambda x: x.rank)]
+        assert mine == [int(i) for i in order]
+
+
+def test_lsh_topk_recall(spark):
+    emb, rows = _mk_emb(spark)
+    queries = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:3]], "query_id long, q_embedding array<float>"
+    )
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = lsh_topk(emb, queries, dim=16, k=10, n_planes=12, n_tables=8).collect()
+    for qid in range(3):
+        t = {r.neighbor_id for r in exact if r.query_id == qid}
+        a = {r.neighbor_id for r in approx if r.query_id == qid}
+        recall = len(t & a) / len(t)
+        assert recall >= 0.5, f"query {qid} recall {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    docs = _mk_docs(spark, 30, plant_dups=False)
+    media = synth_media(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    dec = decode_media(media).collect()
+    assert len(dec) == 30 and all(r.ok for r in dec)
+    # deterministic stub: same input -> same dims
+    dec2 = {r.media_id: (r.width, r.height) for r in decode_media(media).collect()}
+    assert {r.media_id: (r.width, r.height) for r in dec} == dec2
+    feats = extract_features(media, dim=16).collect()
+    assert all(len(r.features) == 16 for r in feats)
+    assert all(abs(sum(r.features) - 1.0) < 1e-5 for r in feats)
+    frames = sample_frames(media, every_n=10)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == vids
+    assert frames.filter("frame_idx % 10 != 0").count() == 0

@@ -1,0 +1,123 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path logic is JVM-side pyspark.sql.functions (codegen'd); the
+document fingerprint is the one numpy kernel (rolling hash needs
+per-token state). Each operator has an ANSI-SQL twin used as its DuckDB
+oracle in __spark_entry__.py, so the implementations deliberately stick
+to engine-portable semantics (replace/length counting over regexp
+dialects where possible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# languages scored by the occurrence count of their marker stopwords
+# (padded with spaces; counted via length arithmetic so Spark and any
+# SQL oracle agree byte-for-byte — no regexp dialect drift)
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " y "],
+}
+
+
+def _occurrences(col, needle: str):
+    """Number of non-overlapping occurrences of needle via replace()."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_norm) — whitespace tokenization."""
+    t = F.trim(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_norm"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, alpha_ratio, space_ratio, stop_ratio, quality) — cheap
+    heuristic quality scoring; ratios rounded to 6dp for stable
+    cross-engine comparison."""
+    text = F.col("text")
+    n = F.greatest(F.length(text), F.lit(1)).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    spaces = F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    stops = sum(_occurrences(padded, f" {w} ") for w in ["the", "and", "of", "a"])
+    toks = F.when(F.length(F.trim(text)) == 0, F.lit(1)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    ).cast("double")
+    alpha_ratio = alpha / n
+    space_ratio = spaces.cast("double") / n
+    stop_ratio = stops.cast("double") / toks
+    quality = F.least(
+        F.lit(1.0),
+        alpha_ratio * 0.5 + F.least(stop_ratio * 2.0, F.lit(0.5)),
+    )
+    return docs.select(
+        "doc_id",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(space_ratio, 6).alias("space_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — marker-stopword language heuristic.
+    Deterministic argmax, tie -> lexicographically first language,
+    all-zero -> 'und'."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = [
+        (lang, sum(_occurrences(padded, m) for m in markers))
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, score in scores:  # first-wins on ties => lexicographic
+        take = score > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, score).otherwise(best_score)
+    return docs.select("doc_id", best.alias("pred_lang"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — 63-bit polynomial rolling hash over
+    whitespace tokens (vectorized numpy kernel, Arrow-batched)."""
+    import hashlib
+
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["text"].astype(str)):
+                h = 0
+                for tok in text.split():
+                    th = int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                    )
+                    h = (h * BASE + th) % MOD
+                out[i] = h
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fingerprint": out.astype(np.int64)}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, fingerprint long"
+    )
