@@ -27,6 +27,8 @@ from webgraph_spark.algos.triangles import oriented_by_degree, triangle_counts, 
 from webgraph_spark.csr import build_csr, csr_out_degrees, csr_successors, decode_csr
 from webgraph_spark.graph import TESTDATA_GRAPH_SQL, testdata_graph
 from webgraph_spark.pipeline.dedup import (
+    embedding_neardup_exact,
+    embedding_neardup_lsh,
     exact_dup_groups,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -215,6 +217,14 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    return embedding_neardup_exact(_emb(spark, sf_dir), threshold=0.8)
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    return embedding_neardup_lsh(_emb(spark, sf_dir), dim=64, threshold=0.8)
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -347,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": _q_minhash_pairs,
         "simhash_candidates": _q_simhash_candidates,
         "doc_fingerprints": _q_fingerprints,
+        "embedding_neardup_pairs": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_brute_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
@@ -542,6 +554,22 @@ FROM documents""",
         "lang_id": _lang_id_sql(),
         "ngram_jaccard_pairs": _jaccard_sql(0.5),
         "ann_brute_topk": _ann_sql(),
+        "embedding_neardup_pairs": """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, sum(a.v * b.v) AS dot
+  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots JOIN norms na ON na.vec_id = doc_a JOIN norms nb ON nb.vec_id = doc_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.8
+""",
         # relational
         "agg_pushdown": """
 SELECT l_returnflag, l_linestatus,

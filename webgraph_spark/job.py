@@ -1,0 +1,142 @@
+"""spark-submit entrypoint: the full north-star pipeline as a cluster job.
+
+Launch (north rule, BASELINE.json:14 — "spark-submit --py-files on
+multi-executor clusters"):
+
+    python scripts/make_pyfiles.py                  # -> dist/webgraph_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/webgraph_spark.zip \
+        webgraph_spark/job.py \
+        --algorithm pagerank --source-table <path-or-iceberg-table> \
+        --checkpoint-dir /ckpt/run1 --output /out/run1 [--resume]
+
+Stages: ingest (sha256 invariant) -> derive edges -> dictionary-encode
+dense vertex ids -> build CSR blocks (persisted) -> run the requested
+algorithm with per-superstep checkpoints -> write results + a metrics
+JSON sidecar. Resume (--resume) restarts from the last completed
+superstep recorded in the checkpoint dir — supersteps < k are not
+recomputed (tests/test_job.py asserts this via the metrics log).
+
+The same entrypoint drives local[N] in tests; nothing here is
+local-mode specific. The reference's analog is the `webgraph` binary
+(/root/reference/src/main.rs:248-301): CLI parse -> load -> compress ->
+store; ours is CLI parse -> ingest -> build -> iterate -> store.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="webgraph_spark cluster job")
+    p.add_argument("--algorithm", required=True,
+                   choices=["pagerank", "components", "labelprop", "triangles", "build"])
+    p.add_argument("--source-table", default=None,
+                   help="parquet path (or Iceberg table via --iceberg) of "
+                        "(repo,path,commit,lang,content); default: synthesize")
+    p.add_argument("--synth-files", type=int, default=2000,
+                   help="files to synthesize when no --source-table given")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--alpha", type=float, default=0.85)
+    p.add_argument("--salt-threshold", type=int, default=None,
+                   help="hub in-degree above which dst aggregation is salted")
+    p.add_argument("--num-blocks", type=int, default=None,
+                   help="CSR range-partition count (default: shuffle partitions)")
+    p.add_argument("--master", default=None, help="override master (tests)")
+    return p
+
+
+def run(argv: list[str]) -> dict:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from webgraph_spark.algos.components import connected_components
+    from webgraph_spark.algos.labelprop import label_propagation
+    from webgraph_spark.algos.pagerank import pagerank
+    from webgraph_spark.algos.triangles import triangle_counts
+    from webgraph_spark.checkpoint import CheckpointManager
+    from webgraph_spark.csr import build_csr
+    from webgraph_spark.graph import build_graph
+    from webgraph_spark.ingest import with_sha
+    from webgraph_spark.session import get_spark
+    from webgraph_spark.synth import synth_sources
+
+    spark = get_spark(master=args.master, app_name=f"wgs-{args.algorithm}")
+    t0 = time.time()
+
+    if args.source_table:
+        sources = spark.read.parquet(args.source_table)
+    else:
+        sources = synth_sources(
+            spark, n_repos=max(1, args.synth_files // 10), files_per_repo=10
+        )
+    sources = with_sha(sources)
+
+    vertices, edges = build_graph(sources)
+    edges = edges.persist()
+    n_edges = edges.count()
+
+    ckpt = CheckpointManager(args.checkpoint_dir)
+
+    # CSR block table: the engine's stored form of the graph (written
+    # once per run; on Iceberg this is `writeTo(...).createOrReplace()`)
+    csr_path = os.path.join(args.output, "csr_blocks")
+    blocks = build_csr(edges, num_blocks=args.num_blocks)
+    blocks.write.mode("overwrite").parquet(csr_path)
+
+    info: dict = {}
+    result = None
+    if args.algorithm == "pagerank":
+        result, info = pagerank(
+            edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
+            ckpt=ckpt, resume=args.resume, salt_threshold=args.salt_threshold,
+        )
+    elif args.algorithm == "components":
+        result, info = connected_components(edges, max_iter=args.max_iter)
+    elif args.algorithm == "labelprop":
+        result, info = label_propagation(edges, max_iter=args.max_iter)
+    elif args.algorithm == "triangles":
+        result, total_df = triangle_counts(edges)
+        info = {"n_triangles": int(total_df.first()["n_triangles"])}
+    # "build" -> CSR table only
+
+    if result is not None:
+        out_path = os.path.join(args.output, args.algorithm)
+        result.write.mode("overwrite").parquet(out_path)
+
+    wall = time.time() - t0
+    summary = {
+        "algorithm": args.algorithm,
+        "n_edges": int(n_edges),
+        "n_vertices": int(vertices.count()),
+        "wall_sec": round(wall, 3),
+        "resumed": bool(args.resume),
+        **{k: v for k, v in info.items() if k != "deltas"},
+    }
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    edges.unpersist()
+    return summary
+
+
+def main() -> None:
+    summary = run(sys.argv[1:])
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    # spark-submit runs this file as __main__; the zip on --py-files
+    # provides the webgraph_spark package to executors AND driver.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

@@ -165,6 +165,88 @@ def minhash_dedup_pairs(
     return out
 
 
+def embedding_neardup_exact(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (doc_a < doc_b, cos >= t).
+
+    All-pairs cosine via a self-join — the exact baseline/verifier.
+    All arithmetic JVM-side (zip_with/aggregate). At corpus scale the
+    LSH variant below supplies candidates and this exact predicate
+    runs only on them.
+    """
+    from webgraph_spark.pipeline.similarity import _dot_col, _norm_col
+
+    a = emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("va"),
+        _norm_col(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("vb"),
+        _norm_col(F.col("embedding")).alias("nb"),
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (_dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "_cs"
+            ),
+        )
+        .filter(F.col("_cs") >= threshold)
+        .select("doc_a", "doc_b", F.round("_cs", 6).alias("cos_sim"))
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets supply candidate pairs
+    (union over n_tables), then the exact cosine predicate verifies.
+    Cost is linear in corpus + bucket collisions, never O(n^2)."""
+    from webgraph_spark.pipeline.similarity import _dot_col, _norm_col, lsh_signatures
+
+    cand = None
+    for t in range(n_tables):
+        sig = lsh_signatures(emb, dim, n_planes, seed + t)
+        l = sig.select(F.col("vec_id").alias("doc_a"), "sig")
+        r = sig.select(F.col("vec_id").alias("doc_b"), "sig")
+        part = l.join(r, "sig").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        cand = part if cand is None else cand.unionAll(part)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    a = emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("va"),
+        _norm_col(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("vb"),
+        _norm_col(F.col("embedding")).alias("nb"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (_dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "_cs"
+            ),
+        )
+        .filter(F.col("_cs") >= threshold)
+        .select("doc_a", "doc_b", F.round("_cs", 6).alias("cos_sim"))
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash over whitespace tokens.
 
