@@ -81,16 +81,18 @@ def synth_edges(spark, n_nodes: int, n_edges: int, parts: int):
 
 
 def measure_supersteps(master: str, n_nodes: int, n_edges: int, parts: int):
+    """Per-superstep throughput: setup (degree join, caching, vertex
+    count) is excluded; the first timed superstep is treated as warmup
+    (codegen/JIT) and dropped. Metric = edges / median superstep sec."""
     spark = get_spark(master=master, app_name=f"wgs-bench-{master}")
     edges = synth_edges(spark, n_nodes, n_edges, parts).persist()
     m = edges.count()
-    # warmup superstep (JIT, codegen, shuffle setup), then timed run
-    pagerank(edges, tol=0.0, max_iter=1)
-    t0 = time.time()
-    pagerank(edges, tol=0.0, max_iter=SUPERSTEPS)
-    dt = time.time() - t0
+    _, info = pagerank(edges, tol=0.0, max_iter=SUPERSTEPS + 1)
     spark.stop()
-    return m, dt, m * SUPERSTEPS / dt
+    steps = sorted(info["superstep_secs"][1:])  # drop warmup superstep
+    med = steps[len(steps) // 2]
+    dt = sum(steps)
+    return m, dt, m / med
 
 
 def main():
@@ -101,7 +103,7 @@ def main():
     probe = get_spark(master="local[4]", app_name="wgs-bench-probe")
     li_rows = probe.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     probe.stop()
-    n_edges = max(200_000, li_rows * 20)
+    n_edges = max(200_000, li_rows * 40)
     n_nodes = max(20_000, n_edges // 10)
 
     m8, dt8, th8 = measure_supersteps("local[8]", n_nodes, n_edges, 32)

@@ -6,20 +6,30 @@ Semantics (north rule; fixture oracle in tests/reference_impls.py):
     dangling_mass_t = sum of r_t over vertices with outdeg 0
     converged when L1(r_{t+1} - r_t) <= tol.
 
-Superstep = exactly two shuffles: the ranks->edges join on src (the
-edge side is pre-hash-partitioned on src and persisted, so only the
-small ranks side moves), then groupBy(dst) partial+final aggregation.
-Dangling mass + L1 delta are computed in ONE scalar action per
-iteration off the materialized new-ranks frame. Each superstep is
-checkpointed (parquet/Iceberg) for lineage truncation + resume.
+Scale design — ONE shuffle per superstep:
+  * edges_w is hash-partitioned on src and persisted once (setup).
+  * ranks is hash-partitioned on vertex_id with the SAME partition
+    count, so the ranks⋈edges join on src needs no exchange on either
+    side, and the final contrib⋈ranks join (dst == vertex_id) reuses
+    the contribution shuffle's hash(dst) partitioning. The only data
+    movement per superstep is the map-side-combined contribution
+    aggregation from src-locality to dst-locality — the
+    information-theoretic minimum for pull-style PageRank.
+  * The L1 delta + next dangling mass are fused into the SAME action
+    that materializes the superstep (lazy localCheckpoint / persist),
+    so each superstep is exactly one Spark job.
+  * Checkpoint every `ckpt_every` supersteps truncates lineage and
+    makes runs resumable (parquet/Iceberg snapshot + metrics row).
 
-Scale posture: contributions aggregate map-side before the dst
-shuffle; hub dst skew is handled by AQE skew hints plus optional
-explicit salting (two-stage aggregation) when a degree histogram pass
-flags hubs — see salt_threshold.
+Hub skew: contributions into a hot dst key are partially aggregated
+map-side within each src partition before the shuffle, which already
+bounds the per-reducer fan-in to (num_partitions) rows per dst; salting
+(salt_threshold) additionally splits reducers for pathological hubs.
 """
 
 from __future__ import annotations
+
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +48,7 @@ def pagerank(
     resume: bool = False,
     salt_threshold: int | None = None,
     num_partitions: int | None = None,
+    ckpt_every: int = 1,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks(vertex_id, rank), info).
 
@@ -45,6 +56,8 @@ def pagerank(
     salt_threshold: if set, dst vertices with indegree > threshold are
     aggregated in two stages (salted partial then final) to break
     reducer hot spots on hub vertices.
+    info["superstep_secs"]: wall seconds of each timed superstep
+    (excludes one-time setup — the bench metric divides edges by this).
     """
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -59,7 +72,7 @@ def pagerank(
     n = verts.count()
     deg = out_degrees(edges)
 
-    # static edge side: weight = 1/outdeg, pre-partitioned on src, cached
+    # static edge side: weight = 1/outdeg, hash-partitioned on src, cached
     edges_w = (
         edges.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg").cast("double")).alias("w"))
@@ -83,31 +96,49 @@ def pagerank(
         last = ckpt.latest("pagerank")
         if last is not None:
             start_iter = last[0] + 1
-            ranks = ckpt.load(spark, "pagerank", last[0])
+            ranks = ckpt.load(spark, "pagerank", last[0]).repartition(p, "vertex_id")
     if ranks is None:
-        ranks = verts.select(
-            "vertex_id", F.lit(1.0 / n).alias("rank")
-        ).join(
-            deg.select(F.col("src").alias("vertex_id"), F.lit(False).alias("is_dangling")),
-            "vertex_id",
-            "left",
-        ).select(
-            "vertex_id", "rank", F.coalesce("is_dangling", F.lit(True)).alias("is_dangling")
+        # ranks co-partitioned with edges_w (hash(vertex_id) == hash(src))
+        ranks = (
+            verts.select("vertex_id", F.lit(1.0 / n).alias("rank"))
+            .join(
+                deg.select(
+                    F.col("src").alias("vertex_id"), F.lit(False).alias("is_dangling")
+                ),
+                "vertex_id",
+                "left",
+            )
+            .select(
+                "vertex_id",
+                "rank",
+                F.coalesce("is_dangling", F.lit(True)).alias("is_dangling"),
+            )
+            .repartition(p, "vertex_id")
         )
-        if ckpt is not None:
-            ranks = ckpt.save("pagerank", -1, ranks) if start_iter == 0 else ranks
+        if ckpt is not None and start_iter == 0:
+            ranks = ckpt.save("pagerank", -1, ranks)
         else:
             ranks = ranks.localCheckpoint()
 
-    # dangling mass of the current ranks (one scalar agg; afterwards it is
-    # fused into the per-iteration delta action)
+    # dangling mass of the current ranks (one scalar agg at setup; in the
+    # loop it rides along with the per-iteration delta action)
     dang = (
         ranks.filter("is_dangling").agg(F.sum("rank").alias("s")).first()["s"] or 0.0
     )
 
-    info = {"iterations": 0, "converged": False, "deltas": [], "n": n, "n_edges": n_edges}
+    info = {
+        "iterations": 0,
+        "converged": False,
+        "deltas": [],
+        "n": n,
+        "n_edges": n_edges,
+        "superstep_secs": [],
+    }
     for it in range(start_iter, max_iter):
+        t0 = time.time()
         r_src = ranks.select(F.col("vertex_id").alias("src"), "rank")
+        # no exchange: edges_w cached as hash(p, src); r_src inherits
+        # hash(p, vertex_id) from the previous superstep's partitioning
         contribs = edges_w.join(r_src, "src").select(
             "dst", (F.col("rank") * F.col("w")).alias("c")
         )
@@ -116,38 +147,48 @@ def pagerank(
             hub_c = contribs.join(F.broadcast(hubs), "dst", "left_semi")
             cold_c = contribs.join(F.broadcast(hubs), "dst", "left_anti")
             hub_partial = (
-                hub_c.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(p)))
+                hub_c.withColumn(
+                    "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(p))
+                )
                 .groupBy("dst", "_salt").agg(F.sum("c").alias("c"))
                 .groupBy("dst").agg(F.sum("c").alias("contrib"))
             )
             cold = cold_c.groupBy("dst").agg(F.sum("c").alias("contrib"))
             contrib = cold.unionAll(hub_partial)
         else:
+            # THE one shuffle: map-side partial sum, then hash(dst) exchange
             contrib = contribs.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
         base = (1.0 - alpha) / n + alpha * dang / n
-        joined = (
-            ranks.join(contrib, ranks.vertex_id == contrib.dst, "left")
-            .select(
-                "vertex_id",
-                F.col("rank").alias("_old"),
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
-                "is_dangling",
-            )
+        # contrib arrives hash(p, dst); ranks is hash(p, vertex_id) ->
+        # same partitioner, join needs no exchange
+        joined = ranks.join(contrib, ranks.vertex_id == contrib.dst, "left").select(
+            "vertex_id",
+            F.col("rank").alias("_old"),
+            (
+                F.lit(base)
+                + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+            "is_dangling",
         )
-        if ckpt is not None:
+        do_ckpt = ckpt is not None and ((it + 1) % ckpt_every == 0 or it + 1 == max_iter)
+        if do_ckpt:
             joined = ckpt.save("pagerank", it, joined)
         else:
-            joined = joined.localCheckpoint()
-        # ONE action: L1 delta + next iteration's dangling mass
+            joined = joined.localCheckpoint(eager=False)
+        # ONE action: materializes the (lazy) checkpoint AND computes
+        # L1 delta + next iteration's dangling mass
         stats = joined.agg(
             F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
-            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dang"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias(
+                "dang"
+            ),
         ).first()
         delta, dang = float(stats["delta"]), float(stats["dang"] or 0.0)
         ranks = joined.select("vertex_id", "rank", "is_dangling")
         info["iterations"] = it + 1
         info["deltas"].append(delta)
+        info["superstep_secs"].append(time.time() - t0)
         if delta <= tol:
             info["converged"] = True
             break
