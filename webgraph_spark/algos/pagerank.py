@@ -73,10 +73,13 @@ def pagerank(
     deg = out_degrees(edges)
 
     # static edge side: weight = 1/outdeg, hash-partitioned on src, cached
+    # sortWithinPartitions: the cached edge side carries a known sort
+    # order, so no superstep ever re-sorts the (large) edge relation
     edges_w = (
         edges.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg").cast("double")).alias("w"))
         .repartition(p, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     n_edges = edges_w.count()  # materialize cache
@@ -136,9 +139,13 @@ def pagerank(
     }
     for it in range(start_iter, max_iter):
         t0 = time.time()
-        r_src = ranks.select(F.col("vertex_id").alias("src"), "rank")
         # no exchange: edges_w cached as hash(p, src); r_src inherits
-        # hash(p, vertex_id) from the previous superstep's partitioning
+        # hash(p, vertex_id) from the previous superstep's partitioning.
+        # SHUFFLE_HASH builds the hash table on the (small) rank side and
+        # streams the cached edge side — no sort of either relation.
+        r_src = ranks.select(F.col("vertex_id").alias("src"), "rank").hint(
+            "SHUFFLE_HASH"
+        )
         contribs = edges_w.join(r_src, "src").select(
             "dst", (F.col("rank") * F.col("w")).alias("c")
         )
@@ -161,7 +168,9 @@ def pagerank(
 
         base = (1.0 - alpha) / n + alpha * dang / n
         # contrib arrives hash(p, dst); ranks is hash(p, vertex_id) ->
-        # same partitioner, join needs no exchange
+        # same partitioner, join needs no exchange; hash join avoids
+        # sorting both vertex-sized relations
+        contrib = contrib.hint("SHUFFLE_HASH")
         joined = ranks.join(contrib, ranks.vertex_id == contrib.dst, "left").select(
             "vertex_id",
             F.col("rank").alias("_old"),

@@ -18,6 +18,8 @@ replaced by an O(1) array gather per edge.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -109,8 +111,9 @@ def pagerank_csr(
         return pd.DataFrame({"dst": uniq, "c": sums})
 
     info = {"iterations": 0, "converged": False, "deltas": [], "n": n,
-            "n_blocks": len(bounds)}
+            "n_blocks": len(bounds), "superstep_secs": []}
     for it in range(max_iter):
+        t0 = time.time()
         contrib = (
             blocks_k.groupby("block_idx")
             .cogroup(ranks.filter(F.col("block_idx") >= 0).groupby("block_idx"))
@@ -141,6 +144,7 @@ def pagerank_csr(
         ranks = joined.select("vertex_id", "rank", "is_dangling", "block_idx")
         info["iterations"] = it + 1
         info["deltas"].append(delta)
+        info["superstep_secs"].append(time.time() - t0)
         if delta <= tol:
             info["converged"] = True
             break
