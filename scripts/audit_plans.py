@@ -45,7 +45,12 @@ def check(name, plan, requirements, notes, out):
 
 
 def main():
-    spark = get_spark(master="local[8]", shuffle_partitions=8, app_name="plan-audit")
+    # AQE off to match the iterative-loop configuration (pagerank.py
+    # disables it for the loop so checkpointed partitioning survives)
+    spark = get_spark(
+        master="local[8]", shuffle_partitions=8, app_name="plan-audit",
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     import __spark_entry__ as entry
 
     out = []
@@ -58,7 +63,8 @@ def main():
         plan_of(q),
         [
             ("filters pushed to scan", r"PushedFilters: \[.*LessThanOrEqual", True),
-            ("only 3 columns read", r"ReadSchema: [^\n]*l_returnflag[^\n]*l_quantity", True),
+            ("only 3 columns read",
+             r"ReadSchema: struct<(?:[^,>]+,){2}[^,>]+>", True),
         ],
         "A 2-column projection must not read all 16 lineitem columns.",
         out,
@@ -84,7 +90,7 @@ def main():
         plan_of(q3),
         [
             ("partial+final HashAggregate", r"HashAggregate", True),
-            ("whole-stage codegen", r"WholeStageCodegen", True),
+            ("whole-stage codegen spans", r"codegen id", True),
         ],
         "groupBy must map-side combine before the shuffle.",
         out,
@@ -108,29 +114,62 @@ def main():
     ).dropDuplicates(["vertex_id"])
     ranks = verts.select("vertex_id", F.lit(0.1).alias("rank")) \
         .repartition(8, "vertex_id").localCheckpoint()
-    r_src = ranks.select(F.col("vertex_id").alias("src"), "rank").hint("SHUFFLE_HASH")
-    contrib = (
-        ew.join(r_src, "src")
-        .groupBy("dst").agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-        .hint("SHUFFLE_HASH")
-    )
-    step = ranks.join(contrib, ranks.vertex_id == contrib.dst, "left").select(
-        "vertex_id", (F.lit(0.01) + 0.85 * F.coalesce("contrib", F.lit(0.0))).alias("rank")
-    )
+
+    def superstep(r):
+        r_src = r.select(F.col("vertex_id").alias("src"), "rank").hint("SHUFFLE_HASH")
+        contrib = (
+            ew.join(r_src, "src")
+            .groupBy("dst").agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+            .hint("SHUFFLE_HASH")
+        )
+        return r.join(contrib, r.vertex_id == contrib.dst, "left").select(
+            "vertex_id",
+            (F.lit(0.01) + 0.85 * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+        )
+
+    # materialize one superstep so the plan below is loop steady state
+    # (ranks = checkpointed RDD carrying hash(vertex_id) partitioning)
+    s1 = superstep(ranks).localCheckpoint(eager=False)
+    s1.agg(F.sum("rank")).collect()
+    step = superstep(s1.select("vertex_id", "rank"))
     plan = plan_of(step)
-    n_exchanges = len(re.findall(r"\n[^\n]*Exchange hashpartitioning", plan))
+    # executed exchanges = Exchange nodes in the tree that are NOT part
+    # of a cached relation's display lineage (explain prints the
+    # InMemoryRelation build plan, but it never re-executes)
+    tree = plan.split("\n\n")[0].splitlines()
+
+    def indent_of(line: str) -> int:
+        m = re.search(r"(InMemoryRelation|Exchange|\w)", line)
+        return m.start() if m else 0
+
+    n_exchanges = 0
+    cache_indent = None
+    for line in tree:
+        ind = indent_of(line)
+        if cache_indent is not None and ind <= cache_indent:
+            cache_indent = None
+        if cache_indent is None and "InMemoryRelation" in line:
+            cache_indent = ind
+            continue
+        if cache_indent is None and re.search(r"\bExchange\b", line):
+            n_exchanges += 1
     out.append(
         (
             "pagerank superstep (exchange count)",
             plan,
             [
-                (f"exactly 1 hash exchange (found {n_exchanges})", "", n_exchanges == 1),
-                (True, "ShuffledHashJoin (no SMJ sorts)", r"ShuffledHashJoin",
-                 re.search(r"ShuffledHashJoin", plan) is not None),
+                (n_exchanges == 1,
+                 f"exactly 1 executed exchange outside the cached edge "
+                 f"relation (found {n_exchanges})"),
+                (re.search(r"ShuffledHashJoin", plan) is not None,
+                 "ShuffledHashJoin on both joins (no SMJ sorts)"),
+                (re.search(r"^\s*:?[+\-* ]*Exchange[^\n]*\n\s*:?[+\-* ]*\+- \* Scan ExistingRDD",
+                           plan, re.M) is None,
+                 "checkpointed ranks RDD keeps its hash partitioning "
+                 "(no exchange above Scan ExistingRDD)"),
             ],
             "The only data movement per superstep is the contribution "
             "shuffle; both joins reuse existing hash partitioning.",
-            out_sentinel := None,
         )
     )
 
@@ -146,12 +185,8 @@ def main():
         if notes:
             lines.append(notes + "\n")
         for v in verdicts:
-            if len(v) == 4:
-                ok, desc, pattern, hit = v
-                lines.append(f"- {'PASS' if ok else 'FAIL'}: {desc}")
-            else:
-                ok, desc = v[0], v[1]
-                lines.append(f"- {'PASS' if ok else 'FAIL'}: {desc}")
+            ok, desc = (v[0], v[1]) if len(v) == 2 else (v[0], v[1])
+            lines.append(f"- {'PASS' if ok else 'FAIL'}: {desc}")
         excerpt = "\n".join(
             l for l in plan.splitlines()
             if re.search(

@@ -62,6 +62,15 @@ def pagerank(
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    # AQE re-plans shuffles with runtime partition specs, which makes the
+    # checkpointed ranks RDD report UnknownPartitioning and reinstates a
+    # vertex-sized exchange on both superstep joins. The loop's
+    # partitioning is already explicit (hash(p) everywhere), so AQE has
+    # nothing to add here; hub skew is handled by map-side combine +
+    # optional salting. Disable for the loop, restore afterwards.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("vertex_id"))
@@ -137,6 +146,24 @@ def pagerank(
         "n_edges": n_edges,
         "superstep_secs": [],
     }
+    try:
+        _iterate(
+            edges_w, ranks, hubs, dang, info, start_iter, max_iter, alpha, tol,
+            n, p, ckpt, ckpt_every,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        edges_w.unpersist()
+        if hubs is not None:
+            hubs.unpersist()
+    return info.pop("_ranks").select("vertex_id", "rank"), info
+
+
+def _iterate(
+    edges_w, ranks, hubs, dang, info, start_iter, max_iter, alpha, tol,
+    n, p, ckpt, ckpt_every,
+):
+    info["_ranks"] = ranks
     for it in range(start_iter, max_iter):
         t0 = time.time()
         # no exchange: edges_w cached as hash(p, src); r_src inherits
@@ -195,14 +222,10 @@ def pagerank(
         ).first()
         delta, dang = float(stats["delta"]), float(stats["dang"] or 0.0)
         ranks = joined.select("vertex_id", "rank", "is_dangling")
+        info["_ranks"] = ranks
         info["iterations"] = it + 1
         info["deltas"].append(delta)
         info["superstep_secs"].append(time.time() - t0)
         if delta <= tol:
             info["converged"] = True
             break
-
-    edges_w.unpersist()
-    if hubs is not None:
-        hubs.unpersist()
-    return ranks.select("vertex_id", "rank"), info
