@@ -15,6 +15,8 @@ shuffles (groupBy u; join back). Rounds are checkpointed.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -68,17 +70,24 @@ def connected_components(
         .dropDuplicates(["src", "dst"])
     )
     e = e.localCheckpoint() if ckpt is None else ckpt.save("cc", -1, e)
-    info = {"iterations": 0, "converged": False}
+    info = {"iterations": 0, "converged": False, "superstep_secs": []}
     prev_sig = None
     for it in range(max_iter):
+        t0 = time.time()
         e2 = _small_star(_large_star(e))
-        e2 = e2.localCheckpoint() if ckpt is None else ckpt.save("cc", it, e2)
+        # lazy checkpoint: the fixpoint-signature action below
+        # materializes the snapshot — ONE job per round
+        e2 = (
+            e2.localCheckpoint(eager=False) if ckpt is None
+            else ckpt.save("cc", it, e2)
+        )
         # fixpoint: edge multiset unchanged (order-insensitive signature)
         sig = e2.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
         ).first()
         info["iterations"] = it + 1
+        info["superstep_secs"].append(time.time() - t0)
         if prev_sig is not None and (sig["n"], sig["h"]) == prev_sig:
             info["converged"] = True
             e = e2

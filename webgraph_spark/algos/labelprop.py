@@ -15,6 +15,8 @@ is encoded in the max_by struct ordering, not in row order.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,8 +48,9 @@ def label_propagation(
     labels = verts.select("vertex_id", F.col("vertex_id").alias("label"))
     labels = labels.localCheckpoint() if ckpt is None else ckpt.save("lp", -1, labels)
 
-    info = {"iterations": 0, "converged": False}
+    info = {"iterations": 0, "converged": False, "superstep_secs": []}
     for it in range(max_iter):
+        t0 = time.time()
         nbr_labels = sym.join(
             labels.select(F.col("vertex_id").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("vertex_id"), "label")
@@ -66,12 +69,17 @@ def label_propagation(
                 (F.coalesce("new_label", "label") != F.col("label")).alias("_changed"),
             )
         )
+        # lazy checkpoint; the changed-count action materializes it
         new_labels = (
-            new_labels.localCheckpoint() if ckpt is None else ckpt.save("lp", it, new_labels)
+            new_labels.localCheckpoint(eager=False) if ckpt is None
+            else ckpt.save("lp", it, new_labels)
         )
-        changed = new_labels.filter("_changed").count()
+        changed = new_labels.agg(
+            F.sum(F.col("_changed").cast("long")).alias("c")
+        ).first()["c"] or 0
         labels = new_labels.select("vertex_id", "label")
         info["iterations"] = it + 1
+        info["superstep_secs"].append(time.time() - t0)
         if changed == 0:
             info["converged"] = True
             break
