@@ -24,6 +24,8 @@ from webgraph_spark.algos.labelprop import label_propagation
 from webgraph_spark.algos.pagerank import pagerank
 from webgraph_spark.algos.pagerank_csr import pagerank_csr
 from webgraph_spark.algos.triangles import oriented_by_degree, triangle_counts, undirect
+from webgraph_spark.algos.triangles_csr import triangle_total_csr
+from webgraph_spark.ascii_graph import ascii_lines
 from webgraph_spark.csr import build_csr, csr_out_degrees, csr_successors, decode_csr
 from webgraph_spark.graph import TESTDATA_GRAPH_SQL, testdata_graph
 from webgraph_spark.pipeline.dedup import (
@@ -142,6 +144,16 @@ def _q_csr_successors(spark, sf_dir):
 def _q_csr_degrees(spark, sf_dir):
     blocks = build_csr(testdata_graph(spark, sf_dir), num_blocks=16)
     return csr_out_degrees(blocks)
+
+
+def _q_ascii_sink_lines(spark, sf_dir):
+    # reference O15 text layout (node\tsucc...) as a queryable sink
+    return ascii_lines(testdata_graph(spark, sf_dir)).select("src", "line")
+
+
+def _q_triangle_total_csr(spark, sf_dir):
+    # merge-scan kernel twin of triangle_total (bvgraph.rs:1135-1173)
+    return triangle_total_csr(testdata_graph(spark, sf_dir))
 
 
 def _q_triangle_total(spark, sf_dir):
@@ -341,8 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csr_roundtrip_edges": _q_csr_roundtrip,
         "csr_successors_node1": _q_csr_successors,
         "csr_out_degrees": _q_csr_degrees,
+        "ascii_sink_lines": _q_ascii_sink_lines,
         # north-star algorithms
         "triangle_total": _q_triangle_total,
+        "triangle_total_csr": _q_triangle_total_csr,
         "triangle_per_vertex": _q_triangle_per_vertex,
         "connected_components": _q_connected_components,
         "pagerank_top20": _q_pagerank_top20,
@@ -500,9 +514,24 @@ SELECT outdeg, count(*) AS n_nodes FROM (
 SELECT src, string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS succ_csv
 FROM e GROUP BY src""",
         "csr_roundtrip_edges": f"{g} SELECT src, dst FROM e",
+        "ascii_sink_lines": f"""{g}
+SELECT src, CAST(src AS VARCHAR) || chr(9) ||
+       string_agg(CAST(dst AS VARCHAR), chr(9) ORDER BY dst) AS line
+FROM e GROUP BY src""",
         "csr_successors_node1": f"{g} SELECT dst FROM e WHERE src = 1",
         "csr_out_degrees": f"{g} SELECT src, count(*) AS outdeg FROM e GROUP BY src",
         "triangle_total": f"""{g},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+deg AS (SELECT node, count(*) AS d FROM (
+  SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b
+  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v)
+SELECT count(*) AS n_triangles
+FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+JOIN und c ON c.u = least(e1.b, e2.b) AND c.v = greatest(e1.b, e2.b)""",
+        "triangle_total_csr": f"""{g},
 und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
 deg AS (SELECT node, count(*) AS d FROM (
   SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),

@@ -1,0 +1,69 @@
+"""Triangle counting over CSR blocks: per-partition sorted-array
+intersection kernel.
+
+Differential twin of algos/triangles.py (same ordered-degree
+orientation, exact counts). The wedge-closing step — for each oriented
+edge (a,b), |N+(a) ∩ N+(b)| — runs as a vectorized numpy merge of
+sorted successor arrays inside one mapInArrow kernel, the engine
+analog of the reference's two-pointer copy-block merge scan
+(/root/reference/src/webgraph/bvgraph.rs:1135-1173).
+
+Plan: orient edges (degree, id) -> build CSR over the oriented graph
+(successor lists sorted, the invariant bvgraph.rs:1253-1255 enforces)
+-> broadcast-free self-join realized as an edge-routed kernel:
+each block row carries its own adjacency; edges (a,b) are routed to
+a's block; the kernel needs N+(b) too, so blocks ship with a second
+routing by b. To stay single-pass we instead join each oriented edge
+with BOTH endpoint adjacency lists materialized as array columns
+(collect_list per vertex — already sorted), then intersect with
+numpy in one Arrow kernel. At 100 TB the array-join is the same
+shuffle volume as the pure-join plan but the intersection is O(da+db)
+vectorized instead of a hash probe per wedge — the win grows with
+hub degree (the sqrt(m) bound caps da, db for oriented graphs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph_spark.algos.triangles import oriented_by_degree
+
+
+def triangle_total_csr(edges: DataFrame) -> DataFrame:
+    """Returns a 1-row DataFrame (n_triangles). Exact."""
+    o = oriented_by_degree(edges)
+    # sorted successor arrays of the ORIENTED graph (out-neighbors only)
+    adj = o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
+    # each oriented edge joined with both endpoints' adjacency
+    ea = o.join(adj.select(F.col("a"), F.col("nbrs").alias("na")), "a")
+    eab = ea.join(
+        adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")), "b", "left"
+    ).select("a", "b", "na", F.coalesce("nb", F.array()).alias("nb"))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        total = 0
+        for batch in batches:
+            na_col = batch.column(batch.schema.get_field_index("na"))
+            nb_col = batch.column(batch.schema.get_field_index("nb"))
+            # zero-copy views over the Arrow list buffers: offsets +
+            # flat values (no per-row Python object materialization)
+            na_off = na_col.offsets.to_numpy()
+            na_val = na_col.values.to_numpy(zero_copy_only=False)
+            nb_off = nb_col.offsets.to_numpy()
+            nb_val = nb_col.values.to_numpy(zero_copy_only=False)
+            for i in range(batch.num_rows):
+                na = na_val[na_off[i]:na_off[i + 1]]
+                nb = nb_val[nb_off[i]:nb_off[i + 1]]
+                if na.size and nb.size:
+                    # sorted-merge intersection (np.intersect1d assumes
+                    # unique — successor sets are duplicate-free)
+                    total += np.intersect1d(na, nb, assume_unique=True).size
+        yield pa.RecordBatch.from_pydict({"partial": [total]})
+
+    partials = eab.mapInArrow(kernel, schema="partial long")
+    return partials.agg(F.sum("partial").alias("n_triangles"))

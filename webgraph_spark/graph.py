@@ -85,6 +85,22 @@ def out_degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count("*").alias("outdeg"))
 
 
+def suggest_salt_threshold(
+    edges: DataFrame, quantile: float = 0.9999, floor: int = 1000
+) -> int | None:
+    """Two-pass stats (the Zuckerli collect-then-encode pattern,
+    /root/reference/src/webgraph/zuckerli_out.rs:1165-1237, repurposed
+    for skew detection): one in-degree histogram pass picks the hub
+    threshold for salted aggregation. Returns None when the extreme
+    in-degree quantile stays below `floor` (no salting worth the extra
+    shuffle stage)."""
+    q = edges.groupBy("dst").agg(F.count("*").alias("indeg")).approxQuantile(
+        "indeg", [quantile], 0.001
+    )
+    thr = int(q[0]) if q else 0
+    return thr if thr >= floor else None
+
+
 def successors(edges: DataFrame, node: int) -> DataFrame:
     """Point successor query (reference O6, bvgraph.rs:143-146).
 

@@ -47,8 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--alpha", type=float, default=0.85)
-    p.add_argument("--salt-threshold", type=int, default=None,
-                   help="hub in-degree above which dst aggregation is salted")
+    p.add_argument("--salt-threshold", default=None,
+                   help="hub in-degree above which dst aggregation is "
+                        "salted; an integer, or 'auto' to pick it from a "
+                        "degree-histogram pass")
     p.add_argument("--num-blocks", type=int, default=None,
                    help="CSR range-partition count (default: shuffle partitions)")
     p.add_argument("--master", default=None, help="override master (tests)")
@@ -94,12 +96,20 @@ def run(argv: list[str]) -> dict:
     blocks = build_csr(edges, num_blocks=args.num_blocks)
     blocks.write.mode("overwrite").parquet(csr_path)
 
+    salt = args.salt_threshold
+    if salt == "auto":
+        from webgraph_spark.graph import suggest_salt_threshold
+
+        salt = suggest_salt_threshold(edges)
+    elif salt is not None:
+        salt = int(salt)
+
     info: dict = {}
     result = None
     if args.algorithm == "pagerank":
         result, info = pagerank(
             edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
-            ckpt=ckpt, resume=args.resume, salt_threshold=args.salt_threshold,
+            ckpt=ckpt, resume=args.resume, salt_threshold=salt,
         )
     elif args.algorithm == "components":
         result, info = connected_components(edges, max_iter=args.max_iter)
