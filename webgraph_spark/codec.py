@@ -151,6 +151,66 @@ def decode_adjacency(
     return out.astype(_I64)
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (1..10)."""
+    v = values.astype(_U64, copy=False)
+    lens = np.ones(v.size, dtype=_I64)
+    tmp = v >> _U64(7)
+    while True:
+        nz = tmp != 0
+        if not nz.any():
+            break
+        lens[nz] += 1
+        tmp = tmp >> _U64(7)
+    return lens
+
+
+def adjacency_byte_offsets(
+    src_ids: np.ndarray, counts: np.ndarray, dsts: np.ndarray
+) -> np.ndarray:
+    """Per-node byte offset of each list's segment inside the buffer
+    produced by encode_adjacency — the engine analog of the reference's
+    per-node offsets array (.offsets file, bit-granular there:
+    /root/reference/src/webgraph/bvgraph.rs:171-201; byte-granular here
+    because the codec is byte-aligned varint). int64[num_nodes + 1];
+    offsets[i+1] - offsets[i] = encoded bytes of node i's list (0 for
+    empty lists)."""
+    src_ids = np.asarray(src_ids, dtype=_I64)
+    counts = np.asarray(counts, dtype=_I64)
+    dsts = np.asarray(dsts, dtype=_I64)
+    offsets = np.zeros(counts.size + 1, dtype=_I64)
+    if dsts.size == 0:
+        return offsets
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    nonempty = counts > 0
+    start_idx = starts[nonempty]
+    gaps = np.empty(dsts.size, dtype=_U64)
+    gaps[1:] = (dsts[1:] - dsts[:-1] - 1).astype(_U64)
+    gaps[0] = _U64(0)
+    gaps[start_idx] = zigzag_encode(dsts[start_idx] - src_ids[nonempty])
+    lens = varint_lengths(gaps)
+    per_node = np.zeros(counts.size, dtype=_I64)
+    per_node[nonempty] = np.add.reduceat(lens, start_idx)
+    np.cumsum(per_node, out=offsets[1:])
+    return offsets
+
+
+def decode_one_list(
+    buf: bytes | np.ndarray, byte_start: int, byte_end: int, src_id: int, count: int
+) -> np.ndarray:
+    """Random-access decode of ONE node's successor list — the analog
+    of the reference's successors(x) hot path (bvgraph.rs:732-978),
+    without touching the rest of the buffer."""
+    if count == 0:
+        return np.empty(0, dtype=_I64)
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else buf
+    raw = varint_decode(b[byte_start:byte_end])
+    vals = raw.astype(_I64) + 1
+    vals[0] = zigzag_decode(raw[:1])[0] + src_id
+    return np.cumsum(vals)
+
+
 # ---------------------------------------------------------------------------
 # scalar reference implementations (differential-test oracles only)
 # ---------------------------------------------------------------------------

@@ -30,11 +30,17 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph_spark.codec import decode_adjacency, encode_adjacency
+from webgraph_spark.codec import (
+    adjacency_byte_offsets,
+    decode_adjacency,
+    decode_one_list,
+    encode_adjacency,
+)
 
 CSR_SCHEMA = (
     "part_id int, node_lo long, node_hi long, n_nodes long, n_edges long, "
-    "indptr array<long>, indices binary, input_rows long, bytes long"
+    "indptr array<long>, byte_offsets array<long>, indices binary, "
+    "input_rows long, bytes long"
 )
 
 _ARROW_CSR = pa.schema(
@@ -45,6 +51,7 @@ _ARROW_CSR = pa.schema(
         ("n_nodes", pa.int64()),
         ("n_edges", pa.int64()),
         ("indptr", pa.list_(pa.int64())),
+        ("byte_offsets", pa.list_(pa.int64())),
         ("indices", pa.binary()),
         ("input_rows", pa.int64()),
         ("bytes", pa.int64()),
@@ -67,6 +74,9 @@ def _pack_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
     counts = np.bincount(src - lo, minlength=hi - lo + 1).astype(np.int64)
     node_ids = np.arange(lo, hi + 1, dtype=np.int64)
     buf = encode_adjacency(node_ids, counts, dst)
+    # per-node byte offsets: the .offsets analog (bvgraph.rs:171-201),
+    # enabling single-list random-access decode without a block scan
+    byte_offsets = adjacency_byte_offsets(node_ids, counts, dst)
     indptr = np.zeros(counts.size + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
     pid = TaskContext.get().partitionId() if TaskContext.get() else -1
@@ -78,6 +88,7 @@ def _pack_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
             "n_nodes": [hi - lo + 1],
             "n_edges": [int(nrows)],
             "indptr": [indptr.tolist()],
+            "byte_offsets": [byte_offsets.tolist()],
             "indices": [buf],
             "input_rows": [int(nrows)],
             "bytes": [len(buf)],
@@ -130,12 +141,16 @@ def csr_successors(blocks: DataFrame, node: int) -> DataFrame:
             for i in range(b.num_rows):
                 lo = d["node_lo"][i]
                 indptr = np.asarray(d["indptr"][i], dtype=np.int64)
-                counts = np.diff(indptr)
-                nodes = np.arange(lo, lo + counts.size, dtype=np.int64)
-                dst = decode_adjacency(d["indices"][i], nodes, counts)
-                s, e = indptr[node - lo], indptr[node - lo + 1]
+                off = np.asarray(d["byte_offsets"][i], dtype=np.int64)
+                k = node - lo
+                # random-access single-list decode (bvgraph.rs:732-978
+                # analog): only this node's bytes are touched
+                dst = decode_one_list(
+                    d["indices"][i], int(off[k]), int(off[k + 1]), node,
+                    int(indptr[k + 1] - indptr[k]),
+                )
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(dst[s:e], pa.int64())], names=["dst"]
+                    [pa.array(dst, pa.int64())], names=["dst"]
                 )
 
     return hit.mapInArrow(_decode_one, schema="dst long")

@@ -1,0 +1,184 @@
+"""Driver-side compressed random-access index over CSR blocks.
+
+The reference's headline capability is decompressing ONE adjacency
+list in ~hundreds of ns without touching the rest of the graph
+(successors(x), /root/reference/src/webgraph/bvgraph.rs:143-146,
+732-978; perf harness: 1M uniform random queries, mean ns/query,
+src/main.rs:70-121). In the engine, cluster-side point lookups go
+through csr_successors (parquet min/max pruning to one block); this
+module is the single-node serving analog: the compressed block table
+is collected once (buffers stay gap+zigzag+varint compressed, ~1-2
+bytes/edge) and random-access queries decode exactly one list via the
+per-node byte_offsets array — same asymptotics as the reference, in
+numpy.
+
+`batch_successors` amortizes Python dispatch over a whole query array
+(decode every queried list in a handful of vectorized passes) — the
+mode a feature-serving pipeline would use; `bench_random_queries`
+reproduces the reference's 1M-random-query harness for BENCH.md.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from webgraph_spark.codec import decode_one_list, varint_decode, zigzag_decode
+
+
+class CsrLocalIndex:
+    """In-memory compressed graph with O(1) random-access list decode."""
+
+    def __init__(self, blocks_rows):
+        rows = sorted(blocks_rows, key=lambda r: r["node_lo"])
+        self._los = np.array([r["node_lo"] for r in rows], dtype=np.int64)
+        self._his = np.array([r["node_hi"] for r in rows], dtype=np.int64)
+        self._indptr = [np.asarray(r["indptr"], dtype=np.int64) for r in rows]
+        self._boffs = [np.asarray(r["byte_offsets"], dtype=np.int64) for r in rows]
+        self._bufs = [np.frombuffer(r["indices"], dtype=np.uint8) for r in rows]
+        self.num_nodes = int(self._his[-1] + 1) if len(rows) else 0
+        self.num_arcs = int(sum(r["n_edges"] for r in rows))
+        self.compressed_bytes = int(sum(b.size for b in self._bufs))
+
+    @classmethod
+    def from_blocks(cls, blocks_df) -> "CsrLocalIndex":
+        """blocks_df: DataFrame from build_csr (or its parquet table)."""
+        return cls([r.asDict() for r in blocks_df.collect()])
+
+    def _block_of(self, x: int) -> int:
+        i = int(np.searchsorted(self._los, x, side="right")) - 1
+        if i < 0 or x > self._his[i]:
+            return -1
+        return i
+
+    def _decoded_block(self, i: int) -> np.ndarray:
+        """Memoized full decode of one block (decompressed cache mode —
+        trades 8 bytes/edge of RAM for slice-speed point queries; the
+        reference instead re-decodes per query and memoizes only the
+        outdegree pointer, bvgraph.rs:40-42,716-729)."""
+        if not hasattr(self, "_dec_cache"):
+            self._dec_cache: dict[int, np.ndarray] = {}
+        hit = self._dec_cache.get(i)
+        if hit is None:
+            from webgraph_spark.codec import decode_adjacency
+
+            counts = np.diff(self._indptr[i])
+            nodes = np.arange(self._los[i], self._los[i] + counts.size, dtype=np.int64)
+            hit = decode_adjacency(self._bufs[i], nodes, counts)
+            self._dec_cache[i] = hit
+        return hit
+
+    def successors_cached(self, x: int) -> np.ndarray:
+        """Point query against the decompressed block cache: first touch
+        of a block pays one vectorized decode, subsequent queries are a
+        pure array slice."""
+        i = self._block_of(x)
+        if i < 0:
+            return np.empty(0, dtype=np.int64)
+        dec = self._decoded_block(i)
+        ip = self._indptr[i]
+        k = x - self._los[i]
+        return dec[ip[k]:ip[k + 1]]
+
+    def outdegree(self, x: int) -> int:
+        """O5 analog (bvgraph.rs:120-136)."""
+        i = self._block_of(x)
+        if i < 0:
+            return 0
+        k = x - self._los[i]
+        ip = self._indptr[i]
+        return int(ip[k + 1] - ip[k])
+
+    def successors(self, x: int) -> np.ndarray:
+        """O6/O7 analog: decode one list, nothing else."""
+        i = self._block_of(x)
+        if i < 0:
+            return np.empty(0, dtype=np.int64)
+        k = x - self._los[i]
+        ip, off = self._indptr[i], self._boffs[i]
+        return decode_one_list(
+            self._bufs[i], int(off[k]), int(off[k + 1]), x, int(ip[k + 1] - ip[k])
+        )
+
+    def batch_successors(self, xs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized bulk random access: returns (counts, concatenated
+        successors) aligned with xs. All queried lists are decoded in a
+        few numpy passes per block instead of per-query Python."""
+        xs = np.asarray(xs, dtype=np.int64)
+        counts = np.zeros(xs.size, dtype=np.int64)
+        order = np.argsort(xs, kind="stable")
+        xs_sorted = xs[order]
+        blk = np.searchsorted(self._los, xs_sorted, side="right") - 1
+        per_block: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for b in np.unique(blk):
+            if b < 0:
+                continue
+            sel = np.flatnonzero(blk == b)
+            in_range = xs_sorted[sel] <= self._his[b]
+            sel = sel[in_range]
+            if sel.size == 0:
+                continue
+            q = xs_sorted[sel]
+            k = q - self._los[b]
+            ip, off, buf = self._indptr[b], self._boffs[b], self._bufs[b]
+            cnt = (ip[k + 1] - ip[k]).astype(np.int64)
+            orig_idx = order[sel]
+            counts[orig_idx] = cnt
+            seg_lens = (off[k + 1] - off[k]).astype(np.int64)
+            total = int(seg_lens.sum())
+            if total == 0:
+                continue
+            # gather queried segments into one compact byte buffer
+            seg_starts = np.cumsum(seg_lens) - seg_lens
+            intra = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, seg_lens)
+            compact = buf[np.repeat(off[k], seg_lens) + intra]
+            raw = varint_decode(compact)
+            # heads of each nonempty list inside the decoded value array
+            nz = cnt > 0
+            head_pos = np.cumsum(cnt[nz]) - cnt[nz]
+            vals = raw.astype(np.int64) + 1
+            vals[head_pos] = zigzag_decode(raw[head_pos]) + q[nz]
+            csum = np.cumsum(vals)
+            base = csum[head_pos] - vals[head_pos]
+            dsts = csum - np.repeat(base, cnt[nz])
+            per_block.append((orig_idx[nz], cnt[nz], dsts))
+        # scatter decoded lists into xs-aligned layout
+        out_starts = np.cumsum(counts) - counts
+        flat = np.empty(int(counts.sum()), dtype=np.int64)
+        for orig_idx, cnt, dsts in per_block:
+            seg_starts = np.cumsum(cnt) - cnt
+            intra = np.arange(dsts.size, dtype=np.int64) - np.repeat(seg_starts, cnt)
+            flat[np.repeat(out_starts[orig_idx], cnt) + intra] = dsts
+        return counts, flat
+
+    def bench_random_queries(self, n_queries: int = 1_000_000, seed: int = 7) -> dict:
+        """Reference O32 harness analog (main.rs:70-121): uniform random
+        node ids, mean ns/query, point path and batch path."""
+        rng = np.random.default_rng(seed)
+        xs = rng.integers(0, self.num_nodes, size=n_queries).astype(np.int64)
+        # point path (per-query Python + numpy decode)
+        sample = xs[: min(20_000, n_queries)]
+        t0 = time.perf_counter()
+        for x in sample:
+            self.successors(int(x))
+        point_ns = (time.perf_counter() - t0) / sample.size * 1e9
+        # batch path (vectorized)
+        t0 = time.perf_counter()
+        counts, flat = self.batch_successors(xs)
+        batch_ns = (time.perf_counter() - t0) / n_queries * 1e9
+        # cached point path (decompressed-block LRU)
+        t0 = time.perf_counter()
+        for x in sample:
+            self.successors_cached(int(x))
+        cached_ns = (time.perf_counter() - t0) / sample.size * 1e9
+        return {
+            "n_queries": int(n_queries),
+            "point_ns_per_query": round(point_ns, 1),
+            "cached_point_ns_per_query": round(cached_ns, 1),
+            "batch_ns_per_query": round(batch_ns, 1),
+            "edges_touched": int(counts.sum()),
+            "compressed_bytes_per_edge": round(
+                self.compressed_bytes / max(self.num_arcs, 1), 3
+            ),
+        }
