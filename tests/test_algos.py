@@ -122,3 +122,43 @@ def test_permutation_invariance_pagerank(spark, algo_seed):
     for r in r2.collect():
         b[r.vertex_id] = r.rank
     np.testing.assert_allclose(a, b[perm], atol=1e-9)
+
+
+def test_permutation_invariance_components_and_triangles(spark):
+    """Relabeling preserves component partitions and triangle totals
+    (analog of the reference's permuted cnr-2000 iteration checks,
+    src/ascii_graph/tests.rs:125-163)."""
+    from tests.conftest import random_graph
+    from webgraph_spark.algos.triangles_csr import triangle_total_csr
+
+    n = 150
+    src, dst = random_graph(n, 700, seed=77)
+    rng = np.random.default_rng(77)
+    perm = rng.permutation(n)
+    e1 = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(src, dst)], "src long, dst long"
+    )
+    e2 = spark.createDataFrame(
+        [(int(perm[a]), int(perm[b])) for a, b in zip(src, dst)], "src long, dst long"
+    )
+    # components: the PARTITION must map through perm (ids differ — the
+    # min-id representative changes under relabeling)
+    c1, _ = connected_components(e1)
+    c2, _ = connected_components(e2)
+    m1 = {r.vertex_id: r.component_id for r in c1.collect()}
+    m2 = {r.vertex_id: r.component_id for r in c2.collect()}
+    groups1 = {}
+    for v, c in m1.items():
+        groups1.setdefault(c, set()).add(int(perm[v]))
+    groups2 = {}
+    for v, c in m2.items():
+        groups2.setdefault(c, set()).add(v)
+    assert sorted(map(sorted, groups1.values())) == sorted(map(sorted, groups2.values()))
+    # triangle totals are permutation-invariant, on both implementations
+    _, t1 = triangle_counts(e1)
+    _, t2 = triangle_counts(e2)
+    assert t1.first()["n_triangles"] == t2.first()["n_triangles"]
+    assert (
+        triangle_total_csr(e2).first()["n_triangles"]
+        == t1.first()["n_triangles"]
+    )
