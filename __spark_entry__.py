@@ -33,6 +33,7 @@ from webgraph_spark.pipeline.dedup import (
     embedding_neardup_lsh,
     exact_dup_groups,
     minhash_dedup_pairs,
+    near_dedup_clusters,
     ngram_jaccard_pairs,
     simhash_candidates,
 )
@@ -229,6 +230,10 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _q_near_dedup_clusters(spark, sf_dir):
+    return near_dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_exact(_emb(spark, sf_dir), threshold=0.8)
 
@@ -369,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_dedup_pairs": _q_minhash_pairs,
+        "near_dedup_clusters": _q_near_dedup_clusters,
         "simhash_candidates": _q_simhash_candidates,
         "doc_fingerprints": _q_fingerprints,
         "embedding_neardup_pairs": _q_embedding_neardup,

@@ -56,3 +56,41 @@ def test_metrics_have_partition_lineage(spark, small_graph, tmp_path):
         assert "wall_ms" in m and m["wall_ms"] > 0
         assert "partitions" in m and len(m["partitions"]) >= 1
         assert sum(p["rows"] for p in m["partitions"]) == m["rows"] == n
+
+
+def test_cc_and_lp_resume_identical(spark, small_graph, tmp_path):
+    """CC and LP resumed mid-run finish with identical results and do
+    not recompute completed rounds."""
+    from webgraph_spark.algos.components import connected_components
+    from webgraph_spark.algos.labelprop import label_propagation
+    from webgraph_spark.checkpoint import CheckpointManager
+
+    edges, n, src, dst = small_graph
+
+    # --- connected components -----------------------------------------
+    want = {
+        (r.vertex_id, r.component_id)
+        for r in connected_components(edges)[0].collect()
+    }
+    ck = CheckpointManager(str(tmp_path / "cc"))
+    connected_components(edges, max_iter=2, ckpt=ck)          # partial run
+    n_before = len(ck.metrics())
+    comps, info = connected_components(edges, ckpt=ck, resume=True)
+    got = {(r.vertex_id, r.component_id) for r in comps.collect()}
+    assert got == want
+    new = ck.metrics()[n_before:]
+    assert new and min(m["iteration"] for m in new if m["algo"] == "cc") >= 2
+
+    # --- label propagation --------------------------------------------
+    want_lp = {
+        (r.vertex_id, r.label)
+        for r in label_propagation(edges, max_iter=6)[0].collect()
+    }
+    ck2 = CheckpointManager(str(tmp_path / "lp"))
+    label_propagation(edges, max_iter=3, ckpt=ck2)            # partial run
+    n_before = len(ck2.metrics())
+    labels, _ = label_propagation(edges, max_iter=6, ckpt=ck2, resume=True)
+    got_lp = {(r.vertex_id, r.label) for r in labels.collect()}
+    assert got_lp == want_lp
+    new = ck2.metrics()[n_before:]
+    assert new and min(m["iteration"] for m in new if m["algo"] == "lp") >= 3

@@ -176,3 +176,19 @@ def test_multimodal_plumbing(spark):
     vids = media.filter(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == vids
     assert frames.filter("frame_idx % 10 != 0").count() == 0
+
+
+def test_near_dedup_clusters_transitive(spark):
+    """Planted dup chains land in one cluster with a min-id
+    representative; unique docs stay singletons."""
+    from webgraph_spark.pipeline.dedup import near_dedup_clusters
+
+    docs = _mk_docs(spark, n=40, plant_dups=True)  # 40,41 dup/near-dup of 0,1
+    out = near_dedup_clusters(docs, threshold=0.5)
+    rows = {r.doc_id: (r.cluster_id, r.is_representative) for r in out.collect()}
+    assert len(rows) == 42  # every doc appears exactly once
+    assert rows[40][0] == 0 and rows[0][0] == 0       # exact dup joins doc 0
+    assert rows[0][1] and not rows[40][1]             # min id is representative
+    assert rows[41][0] == rows[1][0] == 1             # near-dup joins doc 1
+    singles = [d for d, (c, rep) in rows.items() if c == d and rep]
+    assert len(singles) >= 38  # everything else singleton-representative

@@ -62,17 +62,29 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 50,
     ckpt: CheckpointManager | None = None,
+    resume: bool = False,
 ) -> tuple[DataFrame, dict]:
-    """Returns (components(vertex_id, component_id), info). Exact."""
-    e = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .dropDuplicates(["src", "dst"])
-    )
-    e = e.localCheckpoint() if ckpt is None else ckpt.save("cc", -1, e)
+    """Returns (components(vertex_id, component_id), info). Exact.
+
+    resume: restart from the last durably checkpointed round's edge
+    set (the algorithm state IS the contracted edge set)."""
+    start_iter = 0
+    e = None
+    if ckpt is not None and resume:
+        last = ckpt.latest("cc")
+        if last is not None:
+            start_iter = last[0] + 1
+            e = ckpt.load(edges.sparkSession, "cc", last[0])
+    if e is None:
+        e = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .dropDuplicates(["src", "dst"])
+        )
+        e = e.localCheckpoint() if ckpt is None else ckpt.save("cc", -1, e)
     info = {"iterations": 0, "converged": False, "superstep_secs": []}
     prev_sig = None
-    for it in range(max_iter):
+    for it in range(start_iter, max_iter):
         t0 = time.time()
         e2 = _small_star(_large_star(e))
         # lazy checkpoint: the fixpoint-signature action below

@@ -28,8 +28,11 @@ def label_propagation(
     vertices: DataFrame | None = None,
     max_iter: int = 10,
     ckpt: CheckpointManager | None = None,
+    resume: bool = False,
 ) -> tuple[DataFrame, dict]:
-    """Returns (labels(vertex_id, label), info)."""
+    """Returns (labels(vertex_id, label), info).
+
+    resume: restart from the last durably checkpointed labels."""
     spark = edges.sparkSession
     sym = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -45,11 +48,21 @@ def label_propagation(
     if vertices is None:
         vertices = sym.select(F.col("src").alias("vertex_id")).dropDuplicates(["vertex_id"])
     verts = vertices.select("vertex_id")
-    labels = verts.select("vertex_id", F.col("vertex_id").alias("label"))
-    labels = labels.localCheckpoint() if ckpt is None else ckpt.save("lp", -1, labels)
+    start_iter = 0
+    labels = None
+    if ckpt is not None and resume:
+        last = ckpt.latest("lp")
+        if last is not None:
+            start_iter = last[0] + 1
+            labels = ckpt.load(spark, "lp", last[0]).select("vertex_id", "label")
+    if labels is None:
+        labels = verts.select("vertex_id", F.col("vertex_id").alias("label"))
+        labels = (
+            labels.localCheckpoint() if ckpt is None else ckpt.save("lp", -1, labels)
+        )
 
     info = {"iterations": 0, "converged": False, "superstep_secs": []}
-    for it in range(max_iter):
+    for it in range(start_iter, max_iter):
         t0 = time.time()
         nbr_labels = sym.join(
             labels.select(F.col("vertex_id").alias("dst"), "label"), "dst"

@@ -112,9 +112,13 @@ def run(argv: list[str]) -> dict:
             ckpt=ckpt, resume=args.resume, salt_threshold=salt,
         )
     elif args.algorithm == "components":
-        result, info = connected_components(edges, max_iter=args.max_iter)
+        result, info = connected_components(
+            edges, max_iter=args.max_iter, ckpt=ckpt, resume=args.resume
+        )
     elif args.algorithm == "labelprop":
-        result, info = label_propagation(edges, max_iter=args.max_iter)
+        result, info = label_propagation(
+            edges, max_iter=args.max_iter, ckpt=ckpt, resume=args.resume
+        )
     elif args.algorithm == "triangles":
         result, total_df = triangle_counts(edges)
         info = {"n_triangles": int(total_df.first()["n_triangles"])}

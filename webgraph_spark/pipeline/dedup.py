@@ -165,6 +165,38 @@ def minhash_dedup_pairs(
     return out
 
 
+def near_dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Transitive near-dup clustering: MinHash+LSH candidate pairs,
+    exact-Jaccard verified, closed under transitivity with the engine's
+    own connected-components operator (small-star/large-star — the
+    same kernel that serves the link graph). Returns
+    (doc_id, cluster_id, is_representative) where cluster_id = min
+    doc_id of the cluster and the representative is that minimum.
+
+    This is the full 100 TB dedup shape: candidates linear in corpus,
+    verification linear in candidate pairs, clustering O(log n) rounds.
+    """
+    from webgraph_spark.algos.components import connected_components
+
+    pairs = minhash_dedup_pairs(docs, threshold=threshold)
+    comps, _ = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    clustered = comps.select(
+        F.col("vertex_id").alias("doc_id"), F.col("component_id").alias("cluster_id")
+    )
+    singletons = (
+        docs.select("doc_id")
+        .join(clustered.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return clustered.unionAll(singletons).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
 def embedding_neardup_exact(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (doc_a < doc_b, cos >= t).
 
