@@ -33,9 +33,12 @@ from webgraph_spark.pipeline.dedup import (
     embedding_neardup_lsh,
     exact_dup_groups,
     minhash_dedup_pairs,
+    minhash_pairs_sql,
     near_dedup_clusters,
+    near_dedup_clusters_sql,
     ngram_jaccard_pairs,
     simhash_candidates,
+    simhash_candidates_sql,
 )
 from webgraph_spark.pipeline.multimodal import (
     decode_media,
@@ -43,9 +46,10 @@ from webgraph_spark.pipeline.multimodal import (
     sample_frames,
     synth_media,
 )
-from webgraph_spark.pipeline.similarity import brute_force_topk, lsh_topk
+from webgraph_spark.pipeline.similarity import brute_force_topk, ivf_topk, lsh_topk
 from webgraph_spark.pipeline.text import (
     fingerprints,
+    fingerprints_sql,
     lang_id,
     quality_scores,
     token_counts,
@@ -193,6 +197,15 @@ def _q_label_propagation(spark, sf_dir):
     return labels
 
 
+def _q_pagerank_5iter(spark, sf_dir):
+    # fixed-iteration PageRank: exactly 5 supersteps (tol=0 disables the
+    # early-convergence break), oracle = the update equation unrolled as
+    # a 5-deep CTE chain in DuckDB; ranks rounded to 6dp (fp sum-order
+    # differences between engines are ~1e-15 relative)
+    ranks, _ = pagerank(testdata_graph(spark, sf_dir), tol=0.0, max_iter=5)
+    return ranks.select("vertex_id", F.round("rank", 6).alias("rank_r6"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -258,6 +271,16 @@ def _q_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     return lsh_topk(emb, queries, dim=64, k=10).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
+def _q_ann_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_topk(emb, queries, k=10).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
     )
 
@@ -366,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_csr_top20": _q_pagerank_csr_top20,
+        "pagerank_5iter": _q_pagerank_5iter,
         "label_propagation": _q_label_propagation,
         # training-data pipeline
         "dedup_exact_groups": _q_dedup_exact,
@@ -381,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_brute_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
@@ -474,6 +499,139 @@ SELECT query_id, neighbor_id,
        row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= 10
+"""
+
+
+def _pagerank_5iter_sql(alpha: float = 0.85, iters: int = 5) -> str:
+    """The PageRank update equation unrolled as a CTE chain. Arithmetic
+    association mirrors the Spark loop exactly (w = 1/outdeg precomputed,
+    base = (1-a)/n + (a*dang)/n, rank = base + a*contrib); only fp sum
+    order differs, absorbed by round(...,6)."""
+    ctes = [
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "ew AS (SELECT e.src, e.dst, CAST(1 AS DOUBLE)/d.outdeg AS w"
+        " FROM e JOIN deg d USING (src))",
+        "verts AS (SELECT DISTINCT v AS vertex_id FROM"
+        " (SELECT src AS v FROM e UNION SELECT dst FROM e))",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS (SELECT vertex_id, (SELECT CAST(1 AS DOUBLE)/n FROM nn) AS rank"
+        " FROM verts)",
+    ]
+    a = f"{alpha}e0"
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} AS (SELECT coalesce(sum(rank), 0e0) AS dang FROM r{p}"
+            f" WHERE vertex_id NOT IN (SELECT src FROM deg))"
+        )
+        ctes.append(
+            f"c{k} AS (SELECT ew.dst AS vertex_id, sum(r.rank * ew.w) AS contrib"
+            f" FROM ew JOIN r{p} r ON ew.src = r.vertex_id GROUP BY ew.dst)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT p.vertex_id,"
+            f" (SELECT (1e0 - {a})/n FROM nn)"
+            f" + (SELECT ({a} * dang) FROM d{k})/(SELECT n FROM nn)"
+            f" + {a} * coalesce(c.contrib, 0e0) AS rank"
+            f" FROM r{p} p LEFT JOIN c{k} c USING (vertex_id))"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"{_GRAPH_CTE},\n{body}\n"
+        f"SELECT vertex_id, round(rank, 6) AS rank_r6 FROM r{iters}"
+    )
+
+
+def _labelprop_sql(iters: int = 5) -> str:
+    """Synchronous LP unrolled: argmax neighbor-label count, tie -> min
+    label (ORDER BY cnt DESC, label ASC == Spark's max_by(label,
+    struct(cnt, -label))). Exact integer math — no fp hazard. If Spark
+    stops early it is at a fixpoint, so extra unrolled rounds no-op."""
+    ctes = [
+        "lsym AS (SELECT DISTINCT s, d FROM ("
+        "SELECT src AS s, dst AS d FROM e WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM e WHERE src <> dst))",
+        "l0 AS (SELECT DISTINCT s AS vertex_id, s AS label FROM lsym)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"f{k} AS (SELECT ls.s AS vertex_id, l.label AS label, count(*) AS cnt"
+            f" FROM lsym ls JOIN l{p} l ON ls.d = l.vertex_id GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT vertex_id, label AS new_label FROM ("
+            f"SELECT vertex_id, label, row_number() OVER (PARTITION BY vertex_id"
+            f" ORDER BY cnt DESC, label ASC) AS rn FROM f{k}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{k} AS (SELECT l.vertex_id, coalesce(b.new_label, l.label) AS label"
+            f" FROM l{p} l LEFT JOIN b{k} b USING (vertex_id))"
+        )
+    body = ",\n".join(ctes)
+    return f"{_GRAPH_CTE},\n{body}\nSELECT vertex_id, label FROM l{iters}"
+
+
+# exact embedding-cosine near-dup pairs; also the oracle of the LSH
+# variant (see the comment at its oracle_sql entry)
+_NEARDUP_EXACT_SQL = """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, sum(a.v * b.v) AS dot
+  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots JOIN norms na ON na.vec_id = doc_a JOIN norms nb ON nb.vec_id = doc_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.8
+"""
+
+
+# multimodal oracles reproduce the deterministic STUB decode (the
+# documents table is pure ASCII, so byte sums == ascii-code sums)
+_MM_KIND = "['image','audio','video'][(doc_id % 3) + 1]"
+_MM_CHK = (
+    "CASE WHEN length(text) = 0 THEN 0 ELSE "
+    "coalesce(list_sum(list_transform(string_split(text, ''), c -> ascii(c))), 0)"
+    " END"
+)
+
+_MM_DECODE_SQL = f"""
+WITH chks AS (SELECT doc_id, text, {_MM_CHK} AS chk FROM documents)
+SELECT doc_id AS media_id, {_MM_KIND} AS kind,
+       CAST(chk % 640 + 1 AS INT) AS width,
+       CAST(chk % 480 + 1 AS INT) AS height,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       length(text) > 0 AS ok
+FROM chks
+"""
+
+_MM_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, (doc_id % 90) + 1, 10)) AS INT) AS frame_idx
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+# f0 = float32(count(byte % 16 == 0) / n_bytes); the REAL round-trip
+# reproduces numpy's float32 rounding exactly
+_MM_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS tot,
+         CAST(coalesce(list_sum(list_transform(string_split(text, ''),
+              c -> CASE WHEN ascii(c) % 16 = 0 THEN 1 ELSE 0 END)), 0) AS DOUBLE)
+           AS h0
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       round(CAST(CAST(h0 / (CASE WHEN tot = 0 THEN 1 ELSE tot END) AS REAL)
+             AS DOUBLE), 6) AS f0
+FROM h
 """
 
 
@@ -588,23 +746,25 @@ FROM documents""",
         "quality_scores": quality,
         "lang_id": _lang_id_sql(),
         "ngram_jaccard_pairs": _jaccard_sql(0.5),
+        "minhash_dedup_pairs": (
+            f"WITH {minhash_pairs_sql(threshold=0.5).strip()}\n"
+            "SELECT doc_a, doc_b, jaccard FROM mh_final"
+        ),
+        "near_dedup_clusters": near_dedup_clusters_sql(threshold=0.5),
+        "simhash_candidates": simhash_candidates_sql(),
+        "doc_fingerprints": fingerprints_sql(),
+        "pagerank_5iter": _pagerank_5iter_sql(),
+        "label_propagation": _labelprop_sql(5),
+        "multimodal_decode": _MM_DECODE_SQL,
+        "multimodal_frames": _MM_FRAMES_SQL,
+        "multimodal_features": _MM_FEATURES_SQL,
         "ann_brute_topk": _ann_sql(),
-        "embedding_neardup_pairs": """
-WITH el AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
-), norms AS (
-  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id
-), dots AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, sum(a.v * b.v) AS dot
-  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
-FROM dots JOIN norms na ON na.vec_id = doc_a JOIN norms nb ON nb.vec_id = doc_b
-WHERE dot / (na.nrm * nb.nrm) >= 0.8
-""",
+        # the LSH variant's oracle is the EXACT pair predicate: banded
+        # multi-table LSH at cos>=0.8 has recall ~1-5e-6 and the exact
+        # cosine verify gives exact precision, so outputs coincide
+        # (recall additionally pytest-asserted on planted fixtures)
+        "embedding_neardup_lsh": _NEARDUP_EXACT_SQL,
+        "embedding_neardup_pairs": _NEARDUP_EXACT_SQL,
         # relational
         "agg_pushdown": """
 SELECT l_returnflag, l_linestatus,

