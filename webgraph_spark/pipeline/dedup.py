@@ -57,8 +57,23 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _with_min_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition a low-parallelism input before an explode-heavy
+    stage. A small corpus slice often arrives as 1-2 parquet splits;
+    the shingle/token fan-out is ~100x the input rows, so letting it
+    run on one core dominates wall time (measured 7.3s -> 1.4s at
+    sf0.1). When the input already has enough splits (the 100 TB
+    case), this is a no-op — no extra shuffle."""
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _shingles(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams, lowercased."""
+    docs = _with_min_parallelism(docs)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -123,17 +138,18 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def minhash_signatures(
+def minhash_signatures_wide(
     docs: DataFrame,
     n: int = 5,
     num_hashes: int = 64,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, seed, minhash) — num_hashes min-hash permutations.
-
-    One md5 per shingle; permutation i = (h1 + i*h2) mod P (KM double
-    hashing). Everything JVM-side: md5/conv/min are codegen'd; the
-    DuckDB oracle reproduces the values bit for bit.
+    """(doc_id, m0..m{num_hashes-1}) — num_hashes min-hash permutations
+    as WIDE columns: one md5 per shingle, permutation i = (h1 + i*h2)
+    mod P (KM double hashing), then ONE groupBy(doc_id) carrying
+    num_hashes codegen'd min aggregates. No num_hashes-x row explosion
+    (the tall formulation shuffles |shingles| * num_hashes rows; this
+    shuffles |docs| rows) — the shape that survives 100 TB.
     """
     sh = shingles if shingles is not None else _shingles(docs, n)
     hs = sh.select(
@@ -141,34 +157,50 @@ def minhash_signatures(
         md5_long(F.col("shingle"), 1, 10).alias("h1"),
         md5_long(F.col("shingle"), 17, 10).alias("h2"),
     )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        hs.select("doc_id", "h1", "h2", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            km_hash(F.col("h1"), F.col("h2"), F.col("seed")).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    mins = [
+        F.min(km_hash(F.col("h1"), F.col("h2"), F.lit(i))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return hs.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 5,
+    num_hashes: int = 64,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, seed, minhash) — tall view of the wide signatures
+    (stack unpivot; kept for API/tests, the LSH path stays wide)."""
+    wide = minhash_signatures_wide(docs, n, num_hashes, shingles)
+    pairs = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {pairs}) AS (seed, minhash)"
     )
 
 
-def _band_buckets(sig: DataFrame, rows_per_band: int) -> DataFrame:
+def _band_buckets(wide: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
     """(doc_id, band, bucket) — bucket = '_'-joined band signature (a
-    portable string key; both engines build the identical string)."""
-    return (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                "_",
-            ).alias("bucket")
-        )
+    portable string key; both engines build the identical string).
+    Pure projection over the wide signature row — no extra shuffle."""
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select("doc_id", F.explode(bands).alias("bc")).select(
+        "doc_id", "bc.band", "bc.bucket"
     )
 
 
@@ -188,9 +220,14 @@ def minhash_lsh_candidates(
     duplicates anyway — the exact sha2 pass owns those.
     """
     rows_per_band = num_hashes // bands
+    # persisted: the cap filter, the join-left and the join-right all
+    # scan this (Spark re-executes non-materialized subplans per
+    # reference — each recompute walks back to the shingle set)
     band_sig = _band_buckets(
-        minhash_signatures(docs, n, num_hashes, shingles=shingles), rows_per_band
-    )
+        minhash_signatures_wide(docs, n, num_hashes, shingles=shingles),
+        num_hashes,
+        rows_per_band,
+    ).persist()
     if bucket_cap:
         big = (
             band_sig.groupBy("band", "bucket")
@@ -228,19 +265,37 @@ def minhash_dedup_pairs(
     sh = _shingles(docs, n).persist()
     cand = minhash_lsh_candidates(
         docs, n, num_hashes, bands, bucket_cap=bucket_cap, shingles=sh
-    ).persist()
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
-        .dropDuplicates(["doc_id"])
     )
-    exact = _jaccard_from_shingles(
-        sh.join(cand_docs, "doc_id", "left_semi"), threshold=0.0
+    # exact verify driven FROM the candidate pairs: fan each pair out
+    # by doc_a's shingles, probe doc_b's shingle set with a hash join.
+    # Cost O(|cand| * avg_shingles) — cheaper than the shingle-equality
+    # self-join over candidate docs, which explodes by global shingle
+    # frequency. Same exact Jaccard values (the oracle computes them
+    # its own way and must agree).
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
     )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
-        cand.join(exact, ["doc_a", "doc_b"])
+        inter.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -257,18 +312,26 @@ def minhash_pairs_sql(
     rows_per_band = num_hashes // bands
     h1 = sql_md5_long("shingle", 1, 10)
     h2 = sql_md5_long("shingle", 17, 10)
+    mins = ", ".join(
+        f"min((h1 + {i} * h2) % {KM_PRIME}) AS m{i}" for i in range(num_hashes)
+    )
+    band_rows = ", ".join(
+        "({b}, {cc})".format(
+            b=b,
+            cc=" || '_' || ".join(
+                f"CAST(m{b * rows_per_band + j} AS VARCHAR)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(num_hashes // rows_per_band)
+    )
     return f"""
 {SHINGLE_SQL},
 hs AS (SELECT doc_id, shingle, {h1} AS h1, {h2} AS h2 FROM sh),
-sig AS (
-  SELECT doc_id, seed, min((h1 + seed * h2) % {KM_PRIME}) AS minhash
-  FROM hs CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS seed)
-  GROUP BY doc_id, seed
-),
+sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
 bandsig AS (
-  SELECT doc_id, seed // {rows_per_band} AS band,
-         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS bucket
-  FROM sig GROUP BY doc_id, band
+  SELECT doc_id, b.band, b.bucket
+  FROM sig, LATERAL (VALUES {band_rows}) AS b(band, bucket)
 ),
 okbuckets AS (
   SELECT band, bucket FROM bandsig GROUP BY band, bucket
@@ -465,9 +528,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
-    hs = docs.select("doc_id", F.explode(toks).alias("tok")).select(
-        "doc_id", md5_long(F.col("tok"), 1, 15).alias("h")
-    )
+    hs = _with_min_parallelism(docs).select(
+        "doc_id", F.explode(toks).alias("tok")
+    ).select("doc_id", md5_long(F.col("tok"), 1, 15).alias("h"))
     votes = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
