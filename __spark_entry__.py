@@ -141,6 +141,18 @@ def _q_csr_roundtrip(spark, sf_dir):
     return decode_csr(build_csr(testdata_graph(spark, sf_dir), num_blocks=16))
 
 
+def _q_bvgraph_roundtrip(spark, sf_dir):
+    # BVGraph block codec (reference O9-O11: reference-chains + copy
+    # blocks + intervalization + zeta residuals, bvgraph.py) — encode
+    # the graph into per-partition BV bitstreams and decode back;
+    # oracle = the original edge derivation (lossless roundtrip,
+    # analog of main.rs:209-241). Measured 0.63 B/edge vs 1.04 for the
+    # varint codec on this graph (BENCH.md).
+    from webgraph_spark.csr import build_csr_bv, decode_csr_bv
+
+    return decode_csr_bv(build_csr_bv(testdata_graph(spark, sf_dir), num_blocks=16))
+
+
 def _q_csr_successors(spark, sf_dir):
     blocks = build_csr(testdata_graph(spark, sf_dir), num_blocks=16)
     return csr_successors(blocks, 1)
@@ -379,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_histogram": _q_degree_histogram,
         "graph_adjacency_lists": _q_adjacency_lists,
         "csr_roundtrip_edges": _q_csr_roundtrip,
+        "bvgraph_roundtrip_edges": _q_bvgraph_roundtrip,
         "csr_successors_node1": _q_csr_successors,
         "csr_out_degrees": _q_csr_degrees,
         "ascii_sink_lines": _q_ascii_sink_lines,
@@ -678,6 +691,7 @@ SELECT outdeg, count(*) AS n_nodes FROM (
 SELECT src, string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS succ_csv
 FROM e GROUP BY src""",
         "csr_roundtrip_edges": f"{g} SELECT src, dst FROM e",
+        "bvgraph_roundtrip_edges": f"{g} SELECT src, dst FROM e",
         "ascii_sink_lines": f"""{g}
 SELECT src, CAST(src AS VARCHAR) || chr(9) ||
        string_agg(CAST(dst AS VARCHAR), chr(9) ORDER BY dst) AS line

@@ -1,0 +1,237 @@
+"""BVGraph bit-format family: codes, compressor, file interop.
+
+Mirrors the reference's own test strategy (SURVEY.md §5.1): exhaustive
+code roundtrips (ref src/bitstreams/tests.rs:144-196), golden
+successor-list checks on a known graph, permutation of the encode
+pipeline, and the end-to-end store->load byte equality style check
+(ref src/main.rs:209-241).
+"""
+
+import numpy as np
+import pytest
+
+from webgraph_spark.bvgraph import (
+    BitReader,
+    BitWriter,
+    BVGraphParams,
+    BVGraphReader,
+    bvgraph_to_edges,
+    edges_to_bvgraph,
+    encode_graph,
+    int2nat,
+    load_bvgraph,
+    nat2int,
+    read_properties,
+    store_bvgraph,
+    write_properties,
+)
+
+
+def _roundtrip(values, write, read):
+    w = BitWriter()
+    for v in values:
+        write(w, v)
+    r = BitReader(w.to_bytes())
+    return [read(r) for _ in values]
+
+
+class TestCodes:
+    def test_unary_roundtrip(self):
+        vals = list(range(200)) + [500, 1000]
+        got = _roundtrip(vals, lambda w, v: w.write_unary(v), lambda r: r.read_unary())
+        assert got == vals
+
+    @pytest.mark.parametrize("code", ["gamma", "delta", "zeta"])
+    def test_code_roundtrip_exhaustive(self, code):
+        vals = list(range(2000)) + [10**4, 10**6, 10**9, 2**40]
+        if code == "gamma":
+            got = _roundtrip(vals, lambda w, v: w.write_gamma(v), lambda r: r.read_gamma())
+        elif code == "delta":
+            got = _roundtrip(vals, lambda w, v: w.write_delta(v), lambda r: r.read_delta())
+        else:
+            got = _roundtrip(
+                vals, lambda w, v: w.write_zeta(v, 3), lambda r: r.read_zeta(3)
+            )
+        assert got == vals
+
+    def test_gamma_known_bit_lengths(self):
+        # γ(x) costs 2*floor(log2(x+1))+1 bits — spot-check the classic table
+        for x, bits in [(0, 1), (1, 3), (2, 3), (3, 5), (6, 5), (7, 7)]:
+            w = BitWriter()
+            w.write_gamma(x)
+            assert w.written_bits == bits, x
+
+    def test_zeta3_vs_gamma_are_different_codes(self):
+        w1, w2 = BitWriter(), BitWriter()
+        for v in range(100):
+            w1.write_gamma(v)
+            w2.write_zeta(v, 3)
+        assert w1.to_bytes() != w2.to_bytes()
+
+    def test_zigzag(self):
+        for x in [0, 1, -1, 5, -5, 2**40, -(2**40)]:
+            assert nat2int(int2nat(x)) == x
+        assert [int2nat(x) for x in [0, -1, 1, -2, 2]] == [0, 1, 2, 3, 4]
+
+    def test_mixed_stream_with_seek(self):
+        w = BitWriter()
+        marks = []
+        for v in range(50):
+            marks.append(w.written_bits)
+            w.write_gamma(v)
+            w.write_zeta(v * 7, 3)
+            w.write_unary(v % 9)
+        r = BitReader(w.to_bytes())
+        # random-access re-reads via position() (ref tests.rs:199-215)
+        for v in [37, 2, 49, 0, 25]:
+            r.position(marks[v])
+            assert r.read_gamma() == v
+            assert r.read_zeta(3) == v * 7
+            assert r.read_unary() == v % 9
+
+
+def _random_adj(n, avg_deg, seed, runs=False):
+    rng = np.random.default_rng(seed)
+    adj = []
+    for x in range(n):
+        d = int(rng.poisson(avg_deg))
+        if d == 0:
+            continue
+        succ = set(rng.integers(0, n, size=d).tolist())
+        if runs and rng.random() < 0.5:
+            start = int(rng.integers(0, max(1, n - 20)))
+            succ |= set(range(start, start + int(rng.integers(4, 15))))
+        if succ:
+            adj.append((x, sorted(succ)))
+    return adj
+
+
+class TestEncodeDecode:
+    @pytest.mark.parametrize("params", [
+        BVGraphParams(),                                # defaults
+        BVGraphParams(window_size=0),                   # no references
+        BVGraphParams(min_interval_len=0),              # no intervals
+        BVGraphParams(window_size=1, max_ref_count=1),
+    ])
+    def test_roundtrip_random(self, params):
+        adj = _random_adj(300, 8, seed=3, runs=True)
+        data, offsets, out = encode_graph(adj, 300, params)
+        reader = BVGraphReader(data, offsets, BVGraphParams(
+            params.window_size, params.max_ref_count,
+            params.min_interval_len, params.zeta_k, nodes=300, arcs=out.arcs))
+        expect = {x: s for x, s in adj}
+        for x in range(300):
+            assert reader.successors(x) == expect.get(x, []), f"node {x}"
+            assert reader.outdegree(x) == len(expect.get(x, []))
+
+    def test_reference_chains_compress_similar_lists(self):
+        # consecutive nodes share most successors -> copy blocks win
+        base = sorted(np.random.default_rng(1).integers(0, 5000, 60).tolist())
+        adj = []
+        for x in range(100):
+            succ = sorted(set(base + [x * 7 % 5000]))
+            adj.append((x, succ))
+        with_refs, off1, _ = encode_graph(adj, 100, BVGraphParams())
+        no_refs, off2, _ = encode_graph(adj, 100, BVGraphParams(window_size=0))
+        assert len(with_refs) < len(no_refs) / 3  # chains >3x smaller here
+
+    def test_intervalization_compresses_runs(self):
+        # successor lists that are mostly consecutive runs
+        adj = [(x, list(range(x % 50, x % 50 + 40))) for x in range(0, 200, 2)]
+        with_iv, _, _ = encode_graph(adj, 200, BVGraphParams(window_size=0))
+        no_iv, _, _ = encode_graph(
+            adj, 200, BVGraphParams(window_size=0, min_interval_len=0))
+        assert len(with_iv) < len(no_iv) / 3  # runs collapse to (left, len)
+
+    def test_offsets_random_access_matches_sequential(self):
+        adj = _random_adj(200, 6, seed=9)
+        data, offsets, out = encode_graph(adj, 200)
+        assert len(offsets) == 201
+        assert offsets == sorted(offsets)
+        reader = BVGraphReader(data, offsets, out)
+        # decode in scrambled order — random access must not depend on
+        # decode history (ref ascii_graph/tests.rs iteration-order checks)
+        expect = {x: s for x, s in adj}
+        order = np.random.default_rng(4).permutation(200)
+        for x in order.tolist():
+            assert reader.successors(x) == expect.get(x, [])
+
+
+class TestFileFamily:
+    def test_store_load_roundtrip(self, tmp_path):
+        base = str(tmp_path / "g")
+        adj = _random_adj(150, 5, seed=11, runs=True)
+        out = store_bvgraph(adj, 150, base)
+        assert out.nodes == 150
+        g = load_bvgraph(base)
+        assert g.num_nodes == 150 and g.num_arcs == out.arcs
+        expect = {x: s for x, s in adj}
+        for x in range(150):
+            assert g.successors(x) == expect.get(x, [])
+
+    def test_properties_field_set(self, tmp_path):
+        base = str(tmp_path / "p")
+        write_properties(BVGraphParams(nodes=7, arcs=13), base)
+        text = open(base + ".properties").read()
+        # the reference's exact header fields (properties.rs:84-139)
+        for needle in [
+            "graphclass=it.unimi.dsi.webgraph.BVGraph", "nodes=7", "arcs=13",
+            "windowsize=7", "maxrefcount=3", "minintervallength=4",
+            "zetak=3", "compressionflags=", "version=0",
+        ]:
+            assert needle in text
+        p = read_properties(base)
+        assert (p.nodes, p.arcs, p.window_size) == (7, 13, 7)
+
+    def test_store_produces_three_files(self, tmp_path):
+        base = str(tmp_path / "t")
+        store_bvgraph([(0, [1, 2]), (1, [0])], 3, base)
+        for ext in [".graph", ".offsets", ".properties"]:
+            assert (tmp_path / ("t" + ext)).exists()
+
+
+class TestCsrBvCodec:
+    def test_roundtrip_matches_varint_csr(self, spark, small_graph):
+        from webgraph_spark.csr import build_csr_bv, decode_csr_bv
+
+        edges, n, src, dst = small_graph
+        blocks = build_csr_bv(edges, num_blocks=4)
+        back = {(r.src, r.dst) for r in decode_csr_bv(blocks).collect()}
+        want = {(int(a), int(b)) for a, b in zip(src, dst)}
+        assert back == want
+
+    def test_bv_denser_than_varint_on_runny_graph(self, spark):
+        """Reference-chains + intervalization beat the flat varint codec
+        on a graph with shared lists and consecutive runs (the web-graph
+        regime the reference targets). Numbers recorded in BENCH.md."""
+        import pandas as pd
+
+        from webgraph_spark.csr import build_csr, build_csr_bv
+
+        rng = np.random.default_rng(8)
+        rows = []
+        base = sorted(rng.integers(0, 3000, 50).tolist())
+        for x in range(400):
+            succ = set(base) | set(range((x * 3) % 2000, (x * 3) % 2000 + 8))
+            succ |= {int(v) for v in rng.integers(0, 3000, 3)}
+            rows.extend((x, s) for s in sorted(succ) if s != x)
+        edges = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["src", "dst"])
+        )
+        m = edges.count()
+        varint_bytes = build_csr(edges, 4).agg({"bytes": "sum"}).first()[0]
+        bv_bytes = build_csr_bv(edges, 4).agg({"bytes": "sum"}).first()[0]
+        # bv must be at least 3x denser here; varint ~ >=1 byte/edge
+        assert bv_bytes * 3 < varint_bytes, (bv_bytes / m, varint_bytes / m)
+
+
+class TestSparkInterop:
+    def test_edges_bvgraph_roundtrip(self, spark, tmp_path, small_graph):
+        edges, n, src, dst = small_graph
+        base = str(tmp_path / "sg")
+        out = edges_to_bvgraph(edges, base)
+        assert out.arcs == edges.count()
+        back = bvgraph_to_edges(spark, base)
+        got = {(r.src, r.dst) for r in back.collect()}
+        want = {(int(a), int(b)) for a, b in zip(src, dst)}
+        assert got == want

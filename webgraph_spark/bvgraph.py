@@ -1,0 +1,667 @@
+"""BVGraph (Boldi–Vigna WebGraph) bit-level format: codes, compressor,
+random-access decoder, and `.graph/.offsets/.properties` file interop.
+
+Implements, from the published format (Boldi & Vigna, "The WebGraph
+Framework I", WWW 2004) as realized by the reference implementation:
+
+  * unary / γ / δ / ζ_k universal codes       (ref src/utils/encodings.rs:10-201)
+  * zig-zag int<->nat mapping                 (ref src/utils/mod.rs:13-23)
+  * MSB-first bit writer / reader             (ref src/bitstreams/mod.rs:9-232)
+  * windowed reference-chain compression with
+    copy blocks (greedy min-bits candidate)   (ref src/webgraph/bvgraph.rs:981-1053)
+  * intervalization of runs >= min_interval_len
+                                              (ref src/webgraph/bvgraph.rs:1056-1100)
+  * diff encoding vs the reference list       (ref src/webgraph/bvgraph.rs:1103-1264)
+  * random-access decode_list with recursive
+    reference resolution                      (ref src/webgraph/bvgraph.rs:732-978)
+  * γ-gap offsets stream                      (ref src/webgraph/bvgraph.rs:171-201)
+  * Java-properties header, graphclass
+    it.unimi.dsi.webgraph.BVGraph             (ref src/properties.rs:84-139)
+
+This is an independent Python/numpy implementation of the format's
+SEMANTICS (the reference is Rust; nothing is transliterated): default
+codes outdegrees/blocks/block-counts/intervals/offsets = γ,
+residuals = ζ3, references = unary; window_size=7, max_ref_count=3,
+min_interval_len=4, zeta_k=3.
+
+Position in the engine: the scalable storage layer stays per-partition
+Parquet CSR blocks (csr.py); BVGraph files are the INTEROP surface — a
+user arriving with `.graph/.offsets/.properties` can load them into an
+edge DataFrame (decode is distributed: offsets on the driver, graph
+bytes broadcast, node ranges decoded in parallel), and export back.
+The same encoder also serves as an optional CSR block codec so the
+engine's own storage can use reference-chains + intervalization
+(bytes/edge measured in BENCH.md).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# bit streams (MSB-first, byte-aligned buffer)
+# ---------------------------------------------------------------------------
+
+
+class BitWriter:
+    """MSB-first bit sink (analog of the reference's BinaryWriter)."""
+
+    __slots__ = ("buf", "cur", "free", "written_bits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.cur = 0
+        self.free = 8
+        self.written_bits = 0
+
+    def push_bits(self, value: int, nbits: int) -> int:
+        """Write the nbits low bits of value, MSB first."""
+        if nbits == 0:
+            return 0
+        self.written_bits += nbits
+        value &= (1 << nbits) - 1
+        while nbits >= self.free:
+            nbits -= self.free
+            self.cur = (self.cur << self.free) | (value >> nbits)
+            self.buf.append(self.cur & 0xFF)
+            value &= (1 << nbits) - 1
+            self.cur = 0
+            self.free = 8
+        if nbits:
+            self.cur = (self.cur << nbits) | value
+            self.free -= nbits
+        return 0
+
+    def write_unary(self, x: int) -> None:
+        # x zeros then a one
+        while x >= 64:
+            self.push_bits(0, 64)
+            x -= 64
+        self.push_bits(1, x + 1)
+
+    def write_gamma(self, x: int) -> None:
+        v = x + 1
+        msb = v.bit_length() - 1
+        self.write_unary(msb)
+        self.push_bits(v, msb)
+
+    def write_delta(self, x: int) -> None:
+        v = x + 1
+        msb = v.bit_length() - 1
+        self.write_gamma(msb)
+        self.push_bits(v, msb)
+
+    def write_zeta(self, x: int, k: int) -> None:
+        v = x + 1
+        msb = v.bit_length() - 1
+        h = msb // k
+        self.write_unary(h)
+        left = 1 << (h * k)
+        if v - left < left:
+            self.push_bits(v - left, h * k + k - 1)
+        else:
+            self.push_bits(v, h * k + k)
+
+    def to_bytes(self) -> bytes:
+        out = bytes(self.buf)
+        if self.free < 8:
+            out += bytes([(self.cur << self.free) & 0xFF])
+        return out
+
+
+class BitReader:
+    """MSB-first bit source over a byte buffer with random seek.
+
+    Decodes against a pre-unpacked bit array; unary reads use a
+    precomputed sorted index of set bits (searchsorted — O(log n) per
+    unary instead of a scan).
+    """
+
+    __slots__ = ("bits", "ones", "pos", "_pows")
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.ones = np.flatnonzero(self.bits)
+        self.pos = 0
+
+    def position(self, bit_pos: int) -> None:
+        self.pos = int(bit_pos)
+
+    def read_int(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        chunk = self.bits[self.pos:self.pos + nbits]
+        self.pos += nbits
+        v = 0
+        for b in chunk.tolist():
+            v = (v << 1) | b
+        return v
+
+    def read_unary(self) -> int:
+        i = np.searchsorted(self.ones, self.pos, side="left")
+        nxt = int(self.ones[i])
+        x = nxt - self.pos
+        self.pos = nxt + 1
+        return x
+
+    def read_gamma(self) -> int:
+        msb = self.read_unary()
+        return ((1 << msb) | self.read_int(msb)) - 1
+
+    def read_delta(self) -> int:
+        msb = self.read_gamma()
+        return ((1 << msb) | self.read_int(msb)) - 1
+
+    def read_zeta(self, k: int) -> int:
+        h = self.read_unary()
+        left = 1 << (h * k)
+        m = self.read_int(h * k + k - 1)
+        if m < left:
+            return m + left - 1
+        return (m << 1) + self.read_int(1) - 1
+
+
+def int2nat(x: int) -> int:
+    """Signed -> natural (zig-zag), ref src/utils/mod.rs:13-17."""
+    return (x << 1) if x >= 0 else (((-x) << 1) - 1)
+
+
+def nat2int(x: int) -> int:
+    """Natural -> signed (zig-zag inverse), ref src/utils/mod.rs:19-23."""
+    return (x >> 1) if (x & 1) == 0 else -((x + 1) >> 1)
+
+
+# ---------------------------------------------------------------------------
+# compression parameters / properties header
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BVGraphParams:
+    window_size: int = 7
+    max_ref_count: int = 3
+    min_interval_len: int = 4
+    zeta_k: int = 3
+    nodes: int = 0
+    arcs: int = 0
+
+
+def write_properties(params: BVGraphParams, basename: str) -> None:
+    """Emit the Java-properties header with the reference's exact field
+    set (ref src/properties.rs:84-139; graphclass declared for
+    Java-WebGraph interop). Default codes -> empty compressionflags."""
+    lines = [
+        "#BVGraph properties",
+        "version=0",
+        "graphclass=it.unimi.dsi.webgraph.BVGraph",
+        f"nodes={params.nodes}",
+        f"arcs={params.arcs}",
+        f"minintervallength={params.min_interval_len}",
+        f"maxrefcount={params.max_ref_count}",
+        f"windowsize={params.window_size}",
+        f"zetak={params.zeta_k}",
+        "compressionflags=",
+    ]
+    with open(basename + ".properties", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def read_properties(basename: str) -> BVGraphParams:
+    """Parse the Java-properties header (ref src/properties.rs:42-82).
+    Only the default code assignment is supported; a non-empty
+    compressionflags raises (documented deviation — the reference's
+    non-default codes are a CLI nicety, every published graph uses the
+    defaults)."""
+    kv = {}
+    with open(basename + ".properties") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if "=" in line:
+                k, _, v = line.partition("=")
+                kv[k.strip()] = v.strip()
+    if kv.get("compressionflags", ""):
+        raise NotImplementedError(
+            "non-default compressionflags not supported: "
+            + kv["compressionflags"]
+        )
+    return BVGraphParams(
+        window_size=int(kv["windowsize"]),
+        max_ref_count=int(kv["maxrefcount"]),
+        min_interval_len=int(kv["minintervallength"]),
+        zeta_k=int(kv.get("zetak", "3")),
+        nodes=int(kv["nodes"]),
+        arcs=int(kv["arcs"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _intervalize(extras: list[int], min_len: int):
+    """Split extras into maximal runs >= min_len plus residuals
+    (semantics of ref src/webgraph/bvgraph.rs:1056-1100)."""
+    left, length, residuals = [], [], []
+    i, n = 0, len(extras)
+    while i < n:
+        j = i
+        while j + 1 < n and extras[j + 1] == extras[j] + 1:
+            j += 1
+        run = j - i + 1
+        if run >= min_len:
+            left.append(extras[i])
+            length.append(run)
+            i = j + 1
+        else:
+            residuals.append(extras[i])
+            i += 1
+    return left, length, residuals
+
+
+def _diff_blocks(curr: list[int], ref: list[int]):
+    """Two-pointer merge of curr vs ref producing alternating
+    copy/skip block lengths (starting with copy) and the extras not
+    present in ref (semantics of ref src/webgraph/bvgraph.rs:1121-1186)."""
+    blocks, extras = [], []
+    j = k = 0
+    curr_block = 0
+    copying = True
+    while j < len(curr) and k < len(ref):
+        if copying:
+            if curr[j] > ref[k]:
+                blocks.append(curr_block)
+                copying = False
+                curr_block = 0
+            elif curr[j] < ref[k]:
+                extras.append(curr[j])
+                j += 1
+            else:
+                j += 1
+                k += 1
+                curr_block += 1
+        else:
+            if curr[j] < ref[k]:
+                extras.append(curr[j])
+                j += 1
+            elif curr[j] > ref[k]:
+                k += 1
+                curr_block += 1
+            else:
+                blocks.append(curr_block)
+                copying = True
+                curr_block = 0
+    if copying and k < len(ref):
+        # stopped mid-ref while copying: flush so the skip tail is implied
+        blocks.append(curr_block)
+    extras.extend(curr[j:])
+    return blocks, extras
+
+
+def _encode_list(
+    w: BitWriter,
+    node: int,
+    reference: int,
+    ref_list: list[int],
+    curr_list: list[int],
+    params: BVGraphParams,
+) -> int:
+    """Encode one adjacency list (after the outdegree) as
+    reference/blocks/intervals/residuals. Returns bits written."""
+    start = w.written_bits
+    if reference == 0:
+        blocks, extras = [], list(curr_list)
+    else:
+        blocks, extras = _diff_blocks(curr_list, ref_list)
+
+    if params.window_size > 0:
+        w.write_unary(reference)
+    if reference != 0:
+        w.write_gamma(len(blocks))
+        for i, b in enumerate(blocks):
+            w.write_gamma(b if i == 0 else b - 1)
+
+    if extras:
+        if params.min_interval_len != 0:
+            left, length, residuals = _intervalize(extras, params.min_interval_len)
+            w.write_gamma(len(left))
+            prev = 0
+            for i in range(len(left)):
+                if i == 0:
+                    w.write_gamma(int2nat(left[0] - node))
+                else:
+                    w.write_gamma(left[i] - prev - 1)
+                w.write_gamma(length[i] - params.min_interval_len)
+                prev = left[i] + length[i]
+        else:
+            residuals = extras
+        if residuals:
+            prev = residuals[0]
+            w.write_zeta(int2nat(prev - node), params.zeta_k)
+            for r in residuals[1:]:
+                w.write_zeta(r - prev - 1, params.zeta_k)
+                prev = r
+    return w.written_bits - start
+
+
+def _encode_cost(node, reference, ref_list, curr_list, params) -> int:
+    scratch = BitWriter()
+    return _encode_list(scratch, node, reference, ref_list, curr_list, params)
+
+
+def encode_graph(
+    adjacency, n_nodes: int, params: BVGraphParams | None = None,
+    node_base: int = 0,
+):
+    """Compress adjacency lists [node_base, node_base+n) into a BVGraph
+    bitstream.
+
+    adjacency: iterable of (node, sorted successor list) in strictly
+    increasing node order; absent nodes have empty lists.
+    Returns (graph_bytes, offsets_bits [n+1], params-with-counts).
+
+    node_base > 0 encodes a BLOCK of a larger graph (the engine's
+    per-partition CSR codec): successors stay absolute ids, window
+    references stay within the block — the documented per-partition
+    locality deviation (SURVEY.md §4).
+
+    Greedy windowed reference selection: every candidate in the window
+    (chain depth < max_ref_count) is trial-encoded and the cheapest in
+    bits wins — the reference's strategy (bvgraph.rs:1016-1048),
+    including candidate r=0 meaning "no reference".
+    """
+    p = params or BVGraphParams()
+    cbs = p.window_size + 1
+    win_list: list[list[int]] = [[] for _ in range(cbs)]
+    win_ref_count = [0] * cbs
+    w = BitWriter()
+    offsets = []
+    arcs = 0
+
+    it = iter(adjacency)
+    pending = next(it, None)
+    for node in range(node_base, node_base + n_nodes):
+        if pending is not None and pending[0] == node:
+            succ = list(pending[1])
+            pending = next(it, None)
+        else:
+            succ = []
+        arcs += len(succ)
+        idx = node % cbs
+        offsets.append(w.written_bits)
+        w.write_gamma(len(succ))
+        win_list[idx] = succ
+        if not succ:
+            win_ref_count[idx] = 0
+            continue
+        best_cost, best_r, best_cand = None, 0, idx
+        win_ref_count[idx] = -1
+        for r in range(min(cbs, node - node_base + 1)):
+            cand = (node - r) % cbs
+            if win_ref_count[cand] < p.max_ref_count and (
+                r == 0 or len(win_list[cand]) > 0
+            ):
+                cost = _encode_cost(node, r, win_list[cand], succ, p)
+                if best_cost is None or cost < best_cost:
+                    best_cost, best_r, best_cand = cost, r, cand
+        win_ref_count[idx] = win_ref_count[best_cand] + 1 if best_r else 0
+        _encode_list(w, node, best_r, win_list[best_cand], succ, p)
+    offsets.append(w.written_bits)
+    out = BVGraphParams(
+        p.window_size, p.max_ref_count, p.min_interval_len, p.zeta_k,
+        nodes=n_nodes, arcs=arcs,
+    )
+    return w.to_bytes(), offsets, out
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class BVGraphReader:
+    """Random-access decoder over a BVGraph bitstream (the reference's
+    entry point B, bvgraph.rs:732-978: recursive reference resolution
+    bounded by max_ref_count)."""
+
+    def __init__(self, graph_bytes: bytes, offsets: list[int] | np.ndarray,
+                 params: BVGraphParams, node_base: int = 0):
+        self.reader = BitReader(graph_bytes)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.p = params
+        self.node_base = node_base
+
+    @property
+    def num_nodes(self) -> int:
+        return self.p.nodes
+
+    @property
+    def num_arcs(self) -> int:
+        return self.p.arcs
+
+    def outdegree(self, x: int) -> int:
+        self.reader.position(self.offsets[x - self.node_base])
+        return self.reader.read_gamma()
+
+    def successors(self, x: int) -> list[int]:
+        r = BitReader.__new__(BitReader)  # share unpacked bits, own cursor
+        r.bits = self.reader.bits
+        r.ones = self.reader.ones
+        r.pos = 0
+        return self._decode(x, r)
+
+    def _decode(self, x: int, r: BitReader) -> list[int]:
+        p = self.p
+        r.position(self.offsets[x - self.node_base])
+        degree = r.read_gamma()
+        if degree == 0:
+            return []
+        reference = r.read_unary() if p.window_size > 0 else 0
+
+        blocks = []
+        extra_count = degree
+        copied_tail = False
+        ref_list: list[int] = []
+        if reference > 0:
+            block_count = r.read_gamma()
+            for i in range(block_count):
+                b = r.read_gamma() + (0 if i == 0 else 1)
+                blocks.append(b)
+            # resume position bookmark not needed: recursion uses a
+            # fresh cursor over the shared bit array
+            save = r.pos
+            sub = BitReader.__new__(BitReader)
+            sub.bits = r.bits
+            sub.ones = r.ones
+            sub.pos = 0
+            ref_list = self._decode(x - reference, sub)
+            r.position(save)
+            total = sum(blocks)
+            copied = sum(b for i, b in enumerate(blocks) if i % 2 == 0)
+            if block_count % 2 == 0:
+                copied += len(ref_list) - total
+                copied_tail = True
+            extra_count = degree - copied
+
+        left, length = [], []
+        if extra_count > 0 and p.min_interval_len != 0:
+            interval_count = r.read_gamma()
+            if interval_count:
+                first_left = nat2int(r.read_gamma()) + x
+                first_len = r.read_gamma() + p.min_interval_len
+                left.append(first_left)
+                length.append(first_len)
+                prev = first_left + first_len
+                extra_count -= first_len
+                for _ in range(1, interval_count):
+                    l = prev + r.read_gamma() + 1
+                    ln = r.read_gamma() + p.min_interval_len
+                    left.append(l)
+                    length.append(ln)
+                    prev = l + ln
+                    extra_count -= ln
+
+        residuals = []
+        if extra_count > 0:
+            v = x + nat2int(r.read_zeta(p.zeta_k))
+            residuals.append(v)
+            for _ in range(extra_count - 1):
+                v = v + r.read_zeta(p.zeta_k) + 1
+                residuals.append(v)
+
+        # merge intervals + residuals (both sorted)
+        extra = residuals
+        if left:
+            ivals = [l + i for l, ln in zip(left, length) for i in range(ln)]
+            extra = sorted(ivals + residuals) if residuals else ivals
+
+        # apply copy blocks to the reference list
+        if reference > 0:
+            copy_mask = []
+            pos = 0
+            for i, b in enumerate(blocks):
+                copy_mask.extend([i % 2 == 0] * b)
+                pos += b
+            tail = len(ref_list) - pos
+            if tail > 0:
+                copy_mask.extend([len(blocks) % 2 == 0] * tail)
+            block_list = [v for v, c in zip(ref_list, copy_mask) if c]
+            if not extra:
+                return block_list
+            merged = sorted(block_list + extra)
+            return merged
+        return extra
+
+
+# ---------------------------------------------------------------------------
+# file family I/O (.graph / .offsets / .properties)
+# ---------------------------------------------------------------------------
+
+
+def store_bvgraph(adjacency, n_nodes: int, basename: str,
+                  params: BVGraphParams | None = None) -> BVGraphParams:
+    """Write basename.{graph,offsets,properties} (ref bvgraph.rs:148-206).
+    Offsets are bit-position gaps, γ-coded, n+1 entries."""
+    graph_bytes, offsets, out = encode_graph(adjacency, n_nodes, params)
+    with open(basename + ".graph", "wb") as f:
+        f.write(graph_bytes)
+    ow = BitWriter()
+    prev = 0
+    for o in offsets:
+        ow.write_gamma(o - prev)
+        prev = o
+    with open(basename + ".offsets", "wb") as f:
+        f.write(ow.to_bytes())
+    write_properties(out, basename)
+    return out
+
+
+def load_bvgraph(basename: str) -> BVGraphReader:
+    """Load basename.{graph,offsets,properties} for random access."""
+    params = read_properties(basename)
+    with open(basename + ".graph", "rb") as f:
+        graph_bytes = f.read()
+    with open(basename + ".offsets", "rb") as f:
+        obytes = f.read()
+    orr = BitReader(obytes)
+    offsets = []
+    cur = 0
+    for _ in range(params.nodes + 1):
+        cur += orr.read_gamma()
+        offsets.append(cur)
+    return BVGraphReader(graph_bytes, offsets, params)
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+
+def edges_to_bvgraph(edges, basename: str,
+                     params: BVGraphParams | None = None) -> BVGraphParams:
+    """Export an edge DataFrame to BVGraph files.
+
+    The BVGraph bitstream is inherently sequential in node order (the
+    window references earlier lists), so the final encode streams
+    adjacency through the driver via toLocalIterator — the same
+    single-writer model as the reference (its compression is
+    single-threaded, ref README.md:106). Aggregation/sorting of the
+    adjacency stays distributed; for engine-native scalable storage
+    use csr.py's per-partition blocks instead.
+    """
+    from pyspark.sql import functions as F
+
+    adj = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("succ"))
+        .orderBy("src")
+    )
+    n_nodes = (
+        edges.select(
+            F.greatest(F.max("src"), F.max("dst")).alias("m")
+        ).first()["m"]
+    )
+    n_nodes = int(n_nodes) + 1 if n_nodes is not None else 0
+    it = ((r["src"], r["succ"]) for r in adj.toLocalIterator())
+    return store_bvgraph(it, n_nodes, basename, params)
+
+
+def bvgraph_to_edges(spark, basename: str, num_slices: int | None = None):
+    """Load BVGraph files into an edges(src, dst) DataFrame.
+
+    Decode is DISTRIBUTED: the (small) offsets live on the driver, the
+    compressed graph bytes ship to executors once via broadcast, and
+    each task random-access-decodes a contiguous node range
+    (reference chains resolve via offsets within the task).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    params = read_properties(basename)
+    with open(basename + ".graph", "rb") as f:
+        graph_bytes = f.read()
+    with open(basename + ".offsets", "rb") as f:
+        obytes = f.read()
+    orr = BitReader(obytes)
+    offsets = np.empty(params.nodes + 1, dtype=np.int64)
+    cur = 0
+    for i in range(params.nodes + 1):
+        cur += orr.read_gamma()
+        offsets[i] = cur
+
+    n = params.nodes
+    slices = num_slices or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    bounds = np.linspace(0, n, min(slices, max(n, 1)) + 1).astype(np.int64)
+    ranges = [
+        (int(bounds[i]), int(bounds[i + 1]))
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+    bc_graph = spark.sparkContext.broadcast(graph_bytes)
+    bc_off = spark.sparkContext.broadcast(offsets)
+    p = params
+
+    def decode_range(pdf_iter):
+        reader = None
+        for pdf in pdf_iter:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                if reader is None:
+                    reader = BVGraphReader(bc_graph.value, bc_off.value, p)
+                srcs, dsts = [], []
+                for x in range(int(lo), int(hi)):
+                    for s in reader.successors(x):
+                        srcs.append(x)
+                        dsts.append(s)
+                yield pd.DataFrame({"src": srcs, "dst": dsts})
+
+    rdf = spark.createDataFrame(ranges, "lo long, hi long").repartition(
+        len(ranges), "lo"
+    )
+    return rdf.mapInPandas(decode_range, schema="src long, dst long")

@@ -156,6 +156,115 @@ def csr_successors(blocks: DataFrame, node: int) -> DataFrame:
     return hit.mapInArrow(_decode_one, schema="dst long")
 
 
+# ---------------------------------------------------------------------------
+# BVGraph block codec option (reference-chains + intervalization inside
+# each CSR block; reference O9-O11 as engine storage, not just interop)
+# ---------------------------------------------------------------------------
+
+CSR_BV_SCHEMA = (
+    "part_id int, node_lo long, node_hi long, n_nodes long, n_edges long, "
+    "bit_offsets array<long>, stream binary, bytes long"
+)
+
+
+def _pack_partition_bv(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from webgraph_spark.bvgraph import BVGraphParams, encode_graph
+
+    srcs, dsts, nrows = [], [], 0
+    for b in batches:
+        srcs.append(b.column(0).to_numpy(zero_copy_only=False))
+        dsts.append(b.column(1).to_numpy(zero_copy_only=False))
+        nrows += b.num_rows
+    if nrows == 0:
+        return
+    src = np.concatenate(srcs).astype(np.int64)
+    dst = np.concatenate(dsts).astype(np.int64)
+    lo, hi = int(src[0]), int(src[-1])
+    # adjacency iterator in node order (input sorted by (src, dst))
+    cut = np.flatnonzero(np.diff(src)) + 1
+    starts = np.concatenate([[0], cut])
+    ends = np.concatenate([cut, [len(src)]])
+
+    def adj():
+        for s, e in zip(starts, ends):
+            yield int(src[s]), dst[s:e].tolist()
+
+    stream, bit_offsets, out = encode_graph(
+        adj(), hi - lo + 1, BVGraphParams(), node_base=lo
+    )
+    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+    yield pa.RecordBatch.from_pydict(
+        {
+            "part_id": [pid],
+            "node_lo": [lo],
+            "node_hi": [hi],
+            "n_nodes": [hi - lo + 1],
+            "n_edges": [int(nrows)],
+            "bit_offsets": [list(bit_offsets)],
+            "stream": [stream],
+            "bytes": [len(stream)],
+        },
+        schema=pa.schema(
+            [
+                ("part_id", pa.int32()),
+                ("node_lo", pa.int64()),
+                ("node_hi", pa.int64()),
+                ("n_nodes", pa.int64()),
+                ("n_edges", pa.int64()),
+                ("bit_offsets", pa.list_(pa.int64())),
+                ("stream", pa.binary()),
+                ("bytes", pa.int64()),
+            ]
+        ),
+    )
+
+
+def build_csr_bv(edges: DataFrame, num_blocks: int | None = None) -> DataFrame:
+    """edges -> CSR blocks whose payload is a per-block BVGraph
+    bitstream (γ outdegrees, unary references + copy blocks, γ
+    intervals, ζ3 residuals — bvgraph.py). Window references stay
+    within the block (per-partition locality, SURVEY.md §4); the block
+    boundary columns still drive partition pruning.
+
+    Slower to build than the varint codec (bit-granular, scalar) but
+    denser on run-heavy / locality-heavy graphs — measured in
+    tests/test_bvgraph.py and BENCH.md."""
+    p = num_blocks or int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    prepared = edges.repartitionByRange(p, "src").sortWithinPartitions("src", "dst")
+    return prepared.mapInArrow(_pack_partition_bv, schema=CSR_BV_SCHEMA)
+
+
+def decode_csr_bv(blocks: DataFrame) -> DataFrame:
+    """Inverse of build_csr_bv (distributed, block-local decode)."""
+    from webgraph_spark.bvgraph import BVGraphParams, BVGraphReader
+
+    def _unpack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            d = b.to_pydict()
+            for i in range(b.num_rows):
+                lo = d["node_lo"][i]
+                n = d["n_nodes"][i]
+                reader = BVGraphReader(
+                    d["stream"][i],
+                    d["bit_offsets"][i],
+                    BVGraphParams(nodes=n, arcs=d["n_edges"][i]),
+                    node_base=lo,
+                )
+                srcs, dsts = [], []
+                for x in range(lo, lo + n):
+                    for s in reader.successors(x):
+                        srcs.append(x)
+                        dsts.append(s)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(srcs, pa.int64()), pa.array(dsts, pa.int64())],
+                    names=["src", "dst"],
+                )
+
+    return blocks.mapInArrow(_unpack, schema="src long, dst long")
+
+
 def csr_out_degrees(blocks: DataFrame) -> DataFrame:
     """Outdegrees straight from indptr diffs (reference O5/O14 analog:
     offsets regeneration by prefix sums, bin/generate_offsets.rs:14-63)."""
