@@ -57,7 +57,7 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SUPERSTEPS = int(os.environ.get("WGS_BENCH_SUPERSTEPS", "5"))
-REPS = int(os.environ.get("WGS_BENCH_REPS", "2"))
+REPS = int(os.environ.get("WGS_BENCH_REPS", "3"))
 QUERY_REPS = int(os.environ.get("WGS_QUERY_REPS", "2"))
 
 BENCH_QUERIES = [

@@ -173,6 +173,37 @@ def main():
         )
     )
 
+    # 5. connected-components round: 3 exchanges, zero joins, no SMJ
+    from webgraph_spark.algos.components import _large_star, _small_star
+
+    e0 = (
+        edges.filter("src != dst").select("src", "dst")
+        .repartition(8, "src").dropDuplicates(["src", "dst"]).localCheckpoint()
+    )
+    cc_round = _small_star(_large_star(e0), 8)
+    cc_plan = plan_of(cc_round)
+    # formatted explain: tree shows "+- Exchange (n)", details show
+    # "(n) Exchange" with the hashpartitioning arguments
+    cc_exchanges = len(re.findall(r"^\(\d+\) Exchange", cc_plan, re.M))
+    out.append(
+        (
+            "connected-components round (small-star ∘ large-star)",
+            cc_plan,
+            [
+                (cc_exchanges == 3,
+                 f"exactly 3 hash exchanges per round (found {cc_exchanges})"),
+                (re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                           cc_plan) is None,
+                 "zero joins — per-node minima via window over src"),
+                (re.search(r"\bWindow\b", cc_plan) is not None,
+                 "window computes the per-src min in one pass"),
+            ],
+            "Each star = one window exchange; the round-final distinct "
+            "rides the repartition(src) exchange (HashPartitioning(src) "
+            "already clusters (src,dst)).",
+        )
+    )
+
     # render
     lines = ["# PLANS — physical-plan audit (scripts/audit_plans.py)\n"]
     lines.append(

@@ -94,3 +94,34 @@ def test_cc_and_lp_resume_identical(spark, small_graph, tmp_path):
     assert got_lp == want_lp
     new = ck2.metrics()[n_before:]
     assert new and min(m["iteration"] for m in new if m["algo"] == "lp") >= 3
+
+
+def test_converged_state_durable_with_sparse_ckpt(spark, small_graph, tmp_path):
+    """ADVICE r01: with ckpt_every > 1 an early convergence break used
+    to leave the terminal ranks only locally checkpointed; the save on
+    the break must make latest() report the converged iteration."""
+    from webgraph_spark.algos.pagerank import pagerank
+    from webgraph_spark.checkpoint import CheckpointManager
+
+    edges, n, src, dst = small_graph
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ranks, info = pagerank(
+        edges, tol=1e-3, max_iter=50, ckpt=ckpt, ckpt_every=7
+    )
+    assert info["converged"]
+    last = ckpt.latest("pagerank")
+    assert last is not None
+    assert last[0] == info["iterations"] - 1  # terminal superstep durable
+    reloaded = ckpt.load(spark, "pagerank", last[0])
+    got = {r.vertex_id: r.rank for r in reloaded.select("vertex_id", "rank").collect()}
+    want = {r.vertex_id: r.rank for r in ranks.collect()}
+    assert got == want
+
+
+def test_checkpoint_rejects_uri_schemes(tmp_path):
+    import pytest as _pytest
+
+    from webgraph_spark.checkpoint import CheckpointManager
+
+    with _pytest.raises(ValueError):
+        CheckpointManager("s3a://bucket/ckpt")

@@ -227,5 +227,13 @@ def _iterate(
         info["deltas"].append(delta)
         info["superstep_secs"].append(time.time() - t0)
         if delta <= tol:
+            # with ckpt_every > 1 the converged state may exist only as
+            # a local checkpoint — make the terminal state durable so
+            # --resume never replays from an older periodic snapshot
+            if ckpt is not None and not do_ckpt:
+                ranks = ckpt.save("pagerank", it, joined).select(
+                    "vertex_id", "rank", "is_dangling"
+                )
+                info["_ranks"] = ranks
             info["converged"] = True
             break

@@ -26,6 +26,18 @@ from pyspark.sql import functions as F
 
 class CheckpointManager:
     def __init__(self, base_dir: str, run_id: str = "run0"):
+        # snapshot DATA goes through Spark writers, but latest()/resume
+        # and metrics.jsonl use driver-local filesystem calls — a URI
+        # scheme (hdfs://, s3a://) would silently break resume, so
+        # reject it loudly. The dir must be a filesystem mounted on the
+        # driver AND reachable by executors (NFS etc.); routing the
+        # bookkeeping through the Hadoop FileSystem API is the lift
+        # needed for object stores.
+        if "://" in base_dir:
+            raise ValueError(
+                "CheckpointManager requires a driver-mounted filesystem "
+                f"path; URI schemes are not supported: {base_dir!r}"
+            )
         self.base_dir = base_dir
         self.run_id = run_id
         os.makedirs(base_dir, exist_ok=True)

@@ -59,6 +59,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(argv: list[str]) -> dict:
     args = build_parser().parse_args(argv)
+    # --checkpoint-dir / --output must be driver-mounted filesystem
+    # paths: resume bookkeeping (latest()), metrics.jsonl and
+    # summary.json use local file APIs while snapshot data flows
+    # through Spark writers. A URI scheme (hdfs://, s3a://) would make
+    # --resume silently restart from iteration 0 — fail fast instead.
+    # (On a cluster this means a shared mount, e.g. NFS; object-store
+    # support needs the Hadoop FileSystem API for the bookkeeping.)
+    for flag, val in (("--checkpoint-dir", args.checkpoint_dir),
+                      ("--output", args.output)):
+        if "://" in val:
+            raise SystemExit(
+                f"{flag} must be a driver-mounted filesystem path "
+                f"(URI schemes unsupported): {val!r}"
+            )
 
     from pyspark.sql import functions as F
 

@@ -28,9 +28,16 @@ from webgraph_spark.codec import decode_one_list, varint_decode, zigzag_decode
 
 
 class CsrLocalIndex:
-    """In-memory compressed graph with O(1) random-access list decode."""
+    """In-memory compressed graph with O(1) random-access list decode.
 
-    def __init__(self, blocks_rows):
+    ef_offsets=True stores the per-node byte_offsets and indptr arrays
+    Elias–Fano-compressed (~9x less RAM than int64 — the reference's
+    `--ef` offsets option, bvgraph.rs:173-185) at the cost of an O(log)
+    select per offset access; both point and batch paths read offsets
+    through the same accessor, so the option is transparent.
+    """
+
+    def __init__(self, blocks_rows, ef_offsets: bool = False):
         rows = sorted(blocks_rows, key=lambda r: r["node_lo"])
         self._los = np.array([r["node_lo"] for r in rows], dtype=np.int64)
         self._his = np.array([r["node_hi"] for r in rows], dtype=np.int64)
@@ -40,11 +47,33 @@ class CsrLocalIndex:
         self.num_nodes = int(self._his[-1] + 1) if len(rows) else 0
         self.num_arcs = int(sum(r["n_edges"] for r in rows))
         self.compressed_bytes = int(sum(b.size for b in self._bufs))
+        self.offset_bytes = int(
+            sum(a.nbytes for a in self._indptr)
+            + sum(a.nbytes for a in self._boffs)
+        )
+        if ef_offsets:
+            from webgraph_spark.eliasfano import EliasFano
+
+            self._indptr = [EliasFano(a) for a in self._indptr]
+            self._boffs = [EliasFano(a) for a in self._boffs]
+            self.offset_bytes = int(
+                sum(a.nbytes for a in self._indptr)
+                + sum(a.nbytes for a in self._boffs)
+            )
+
+    @staticmethod
+    def _at(arr, idx):
+        """Offset accessor: plain ndarray or EliasFano, int or array."""
+        if isinstance(arr, np.ndarray):
+            return arr[idx]
+        if np.isscalar(idx) or isinstance(idx, (int, np.integer)):
+            return arr.get(int(idx))
+        return arr.get_many(idx)
 
     @classmethod
-    def from_blocks(cls, blocks_df) -> "CsrLocalIndex":
+    def from_blocks(cls, blocks_df, ef_offsets: bool = False) -> "CsrLocalIndex":
         """blocks_df: DataFrame from build_csr (or its parquet table)."""
-        return cls([r.asDict() for r in blocks_df.collect()])
+        return cls([r.asDict() for r in blocks_df.collect()], ef_offsets=ef_offsets)
 
     def _block_of(self, x: int) -> int:
         i = int(np.searchsorted(self._los, x, side="right")) - 1
@@ -63,7 +92,9 @@ class CsrLocalIndex:
         if hit is None:
             from webgraph_spark.codec import decode_adjacency
 
-            counts = np.diff(self._indptr[i])
+            ip = self._indptr[i]
+            ip_arr = ip if isinstance(ip, np.ndarray) else ip.to_array()
+            counts = np.diff(ip_arr)
             nodes = np.arange(self._los[i], self._los[i] + counts.size, dtype=np.int64)
             hit = decode_adjacency(self._bufs[i], nodes, counts)
             self._dec_cache[i] = hit
@@ -79,7 +110,8 @@ class CsrLocalIndex:
         dec = self._decoded_block(i)
         ip = self._indptr[i]
         k = x - self._los[i]
-        return dec[ip[k]:ip[k + 1]]
+        lo, hi = int(self._at(ip, k)), int(self._at(ip, k + 1))
+        return dec[lo:hi]
 
     def outdegree(self, x: int) -> int:
         """O5 analog (bvgraph.rs:120-136)."""
@@ -88,7 +120,7 @@ class CsrLocalIndex:
             return 0
         k = x - self._los[i]
         ip = self._indptr[i]
-        return int(ip[k + 1] - ip[k])
+        return int(self._at(ip, k + 1) - self._at(ip, k))
 
     def successors(self, x: int) -> np.ndarray:
         """O6/O7 analog: decode one list, nothing else."""
@@ -98,7 +130,8 @@ class CsrLocalIndex:
         k = x - self._los[i]
         ip, off = self._indptr[i], self._boffs[i]
         return decode_one_list(
-            self._bufs[i], int(off[k]), int(off[k + 1]), x, int(ip[k + 1] - ip[k])
+            self._bufs[i], int(self._at(off, k)), int(self._at(off, k + 1)),
+            x, int(self._at(ip, k + 1) - self._at(ip, k)),
         )
 
     def batch_successors(self, xs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -122,17 +155,18 @@ class CsrLocalIndex:
             q = xs_sorted[sel]
             k = q - self._los[b]
             ip, off, buf = self._indptr[b], self._boffs[b], self._bufs[b]
-            cnt = (ip[k + 1] - ip[k]).astype(np.int64)
+            cnt = (self._at(ip, k + 1) - self._at(ip, k)).astype(np.int64)
             orig_idx = order[sel]
             counts[orig_idx] = cnt
-            seg_lens = (off[k + 1] - off[k]).astype(np.int64)
+            off_k = self._at(off, k)
+            seg_lens = (self._at(off, k + 1) - off_k).astype(np.int64)
             total = int(seg_lens.sum())
             if total == 0:
                 continue
             # gather queried segments into one compact byte buffer
             seg_starts = np.cumsum(seg_lens) - seg_lens
             intra = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, seg_lens)
-            compact = buf[np.repeat(off[k], seg_lens) + intra]
+            compact = buf[np.repeat(off_k, seg_lens) + intra]
             raw = varint_decode(compact)
             # heads of each nonempty list inside the decoded value array
             nz = cnt > 0
