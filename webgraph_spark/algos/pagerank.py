@@ -81,12 +81,15 @@ def pagerank(
     n = verts.count()
     deg = out_degrees(edges)
 
-    # static edge side: weight = 1/outdeg, hash-partitioned on src, cached
+    # static edge side: bare (src, dst), hash-partitioned on src, cached.
+    # The per-edge weight 1/outdeg is NOT materialized here: the rank
+    # state carries outdeg, and rank/outdeg is computed once per VERTEX
+    # on the probe side — same math, 1/3 less cached-scan traffic per
+    # superstep (the scan is the memory-bandwidth hot spot at scale).
     # sortWithinPartitions: the cached edge side carries a known sort
-    # order, so no superstep ever re-sorts the (large) edge relation
+    # order, so no superstep ever re-sorts the (large) edge relation.
     edges_w = (
-        edges.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg").cast("double")).alias("w"))
+        edges.select("src", "dst")
         .repartition(p, "src")
         .sortWithinPartitions("src")
         .persist()
@@ -104,26 +107,35 @@ def pagerank(
 
     start_iter = 0
     ranks = None
+    deg_v = deg.select(F.col("src").alias("vertex_id"), "outdeg")
     if ckpt is not None and resume:
         last = ckpt.latest("pagerank")
         if last is not None:
             start_iter = last[0] + 1
-            ranks = ckpt.load(spark, "pagerank", last[0]).repartition(p, "vertex_id")
+            # snapshots persist (vertex_id, rank, is_dangling); outdeg
+            # is re-derived so the state layout can evolve freely
+            ranks = (
+                ckpt.load(spark, "pagerank", last[0])
+                .select("vertex_id", "rank", "is_dangling")
+                .join(deg_v, "vertex_id", "left")
+                .select(
+                    "vertex_id", "rank", "is_dangling",
+                    F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+                )
+                .repartition(p, "vertex_id")
+            )
     if ranks is None:
-        # ranks co-partitioned with edges_w (hash(vertex_id) == hash(src))
+        # ranks co-partitioned with edges_w (hash(vertex_id) == hash(src));
+        # the state carries outdeg so the superstep computes rank/outdeg
+        # once per vertex instead of caching a per-edge weight
         ranks = (
             verts.select("vertex_id", F.lit(1.0 / n).alias("rank"))
-            .join(
-                deg.select(
-                    F.col("src").alias("vertex_id"), F.lit(False).alias("is_dangling")
-                ),
-                "vertex_id",
-                "left",
-            )
+            .join(deg_v, "vertex_id", "left")
             .select(
                 "vertex_id",
                 "rank",
-                F.coalesce("is_dangling", F.lit(True)).alias("is_dangling"),
+                F.col("outdeg").isNull().alias("is_dangling"),
+                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
             )
             .repartition(p, "vertex_id")
         )
@@ -170,11 +182,18 @@ def _iterate(
         # hash(p, vertex_id) from the previous superstep's partitioning.
         # SHUFFLE_HASH builds the hash table on the (small) rank side and
         # streams the cached edge side — no sort of either relation.
-        r_src = ranks.select(F.col("vertex_id").alias("src"), "rank").hint(
-            "SHUFFLE_HASH"
-        )
+        # rank * (1/outdeg) computed once per VERTEX here (probe side);
+        # the operation order matches the old per-edge w = 1/outdeg,
+        # c = rank*w exactly, so scores are bit-identical
+        r_src = ranks.select(
+            F.col("vertex_id").alias("src"),
+            F.when(
+                F.col("outdeg") > 0,
+                F.col("rank") * (F.lit(1.0) / F.col("outdeg").cast("double")),
+            ).otherwise(F.lit(0.0)).alias("cv"),
+        ).hint("SHUFFLE_HASH")
         contribs = edges_w.join(r_src, "src").select(
-            "dst", (F.col("rank") * F.col("w")).alias("c")
+            "dst", F.col("cv").alias("c")
         )
         if hubs is not None:
             # two-stage salted aggregation for hub dst keys
@@ -206,6 +225,7 @@ def _iterate(
                 + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("rank"),
             "is_dangling",
+            "outdeg",
         )
         do_ckpt = ckpt is not None and ((it + 1) % ckpt_every == 0 or it + 1 == max_iter)
         if do_ckpt:
@@ -221,7 +241,7 @@ def _iterate(
             ),
         ).first()
         delta, dang = float(stats["delta"]), float(stats["dang"] or 0.0)
-        ranks = joined.select("vertex_id", "rank", "is_dangling")
+        ranks = joined.select("vertex_id", "rank", "is_dangling", "outdeg")
         info["_ranks"] = ranks
         info["iterations"] = it + 1
         info["deltas"].append(delta)
