@@ -43,6 +43,7 @@ from webgraph_spark.pipeline.dedup import (
 from webgraph_spark.pipeline.multimodal import (
     decode_media,
     extract_features,
+    resize_media,
     sample_frames,
     synth_media,
 )
@@ -218,6 +219,16 @@ def _q_pagerank_5iter(spark, sf_dir):
     return ranks.select("vertex_id", F.round("rank", 6).alias("rank_r6"))
 
 
+def _q_pagerank_csr_5iter(spark, sf_dir):
+    # the CSR gather-scatter twin against the SAME unrolled SQL oracle:
+    # proves the partition-resident kernel path end-to-end, not just
+    # differentially vs the DataFrame path
+    ranks, _ = pagerank_csr(
+        testdata_graph(spark, sf_dir), tol=0.0, max_iter=5, num_blocks=16
+    )
+    return ranks.select("vertex_id", F.round("rank", 6).alias("rank_r6"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -303,6 +314,10 @@ def _q_multimodal_decode(spark, sf_dir):
 
 def _q_multimodal_frames(spark, sf_dir):
     return sample_frames(synth_media(_docs(spark, sf_dir)), every_n=10)
+
+
+def _q_multimodal_resize(spark, sf_dir):
+    return resize_media(synth_media(_docs(spark, sf_dir)))
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -403,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_csr_top20": _q_pagerank_csr_top20,
         "pagerank_5iter": _q_pagerank_5iter,
+        "pagerank_csr_5iter": _q_pagerank_csr_5iter,
         "label_propagation": _q_label_propagation,
         # training-data pipeline
         "dedup_exact_groups": _q_dedup_exact,
@@ -421,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
         "multimodal_features": _q_multimodal_features,
         # relational coverage
         "agg_pushdown": _q_agg_pushdown,
@@ -624,6 +641,21 @@ SELECT doc_id AS media_id, {_MM_KIND} AS kind,
 FROM chks
 """
 
+_MM_RESIZE_SQL = f"""
+WITH chks AS (SELECT doc_id, {_MM_CHK} AS chk FROM documents),
+dims AS (
+  SELECT doc_id AS media_id,
+         CAST(chk % 640 + 1 AS INT) AS width,
+         CAST(chk % 480 + 1 AS INT) AS height
+  FROM chks
+)
+SELECT media_id, width, height,
+       CAST(floor(width * s) AS INT) AS out_w,
+       CAST(floor(height * s) AS INT) AS out_h,
+       round(s, 6) AS scale
+FROM (SELECT *, least(1e0, 224e0 / width, 224e0 / height) AS s FROM dims)
+"""
+
 _MM_FRAMES_SQL = """
 SELECT doc_id AS media_id,
        CAST(unnest(range(0, (doc_id % 90) + 1, 10)) AS INT) AS frame_idx
@@ -768,9 +800,11 @@ FROM documents""",
         "simhash_candidates": simhash_candidates_sql(),
         "doc_fingerprints": fingerprints_sql(),
         "pagerank_5iter": _pagerank_5iter_sql(),
+        "pagerank_csr_5iter": _pagerank_5iter_sql(),
         "label_propagation": _labelprop_sql(5),
         "multimodal_decode": _MM_DECODE_SQL,
         "multimodal_frames": _MM_FRAMES_SQL,
+        "multimodal_resize": _MM_RESIZE_SQL,
         "multimodal_features": _MM_FEATURES_SQL,
         "ann_brute_topk": _ann_sql(),
         # the LSH variant's oracle is the EXACT pair predicate: banded

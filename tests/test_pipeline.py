@@ -236,6 +236,14 @@ def test_multimodal_plumbing(spark):
     vids = media.filter(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == vids
     assert frames.filter("frame_idx % 10 != 0").count() == 0
+    from webgraph_spark.pipeline.multimodal import resize_media
+
+    rs = resize_media(media, max_w=224, max_h=224).collect()
+    assert len(rs) == 30
+    for r in rs:
+        assert r.out_w <= 224 and r.out_h <= 224
+        assert 0 < r.scale <= 1.0
+        assert r.out_w <= r.width and r.out_h <= r.height
 
 
 def test_near_dedup_clusters_transitive(spark):

@@ -116,6 +116,44 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+def resize_media(
+    media: DataFrame, max_w: int = 224, max_h: int = 224
+) -> DataFrame:
+    """(media_id, width, height, out_w, out_h, scale) — fit the decoded
+    dimensions into a max_w x max_h box preserving aspect ratio (no
+    upscaling).
+
+    STUB at the pixel level (no PIL in this container — a real deploy
+    resizes the payload inside the same Arrow batch); the geometry and
+    the Spark plumbing (batched kernel over the decoded-dims stream)
+    are real, deterministic and oracle-checked.
+    """
+    dims = decode_media(media)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].to_numpy().astype(np.float64)
+            h = pdf["height"].to_numpy().astype(np.float64)
+            scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
+            out_w = np.floor(w * scale).astype(np.int32)
+            out_h = np.floor(h * scale).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "scale": np.round(scale, 6),
+                }
+            )
+
+    return dims.select("media_id", "width", "height").mapInPandas(
+        kernel,
+        schema="media_id long, width int, height int, out_w int, out_h int, scale double",
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """(media_id, frame_idx) for video rows — pure JVM explode over
     sequence(); no Python involved in the fan-out."""
