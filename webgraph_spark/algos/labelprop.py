@@ -8,9 +8,15 @@ vertex ids. Runs a fixed maximum of rounds, stopping early at a
 fixpoint; the numpy fixture applies the identical rule, so results are
 exact-comparable.
 
-Superstep = join(labels on neighbor) + groupBy(vertex,label).count +
-max_by(struct(count, -label)) — two shuffles. Deterministic tie-break
-is encoded in the max_by struct ordering, not in row order.
+Superstep plan shape (the PageRank-loop treatment): the symmetric edge
+relation is cached hash(p, dst)-partitioned and sorted, labels live
+hash(p, vertex_id) with the same p, so the neighbor-label join needs no
+exchange on either side (SHUFFLE_HASH, no sorts); the only exchanges
+per superstep are the two aggregation shuffles — (vertex,label)
+frequency counting and the per-vertex argmax — plus nothing else. AQE
+is disabled inside the loop (same checkpointed-partitioning rationale
+as pagerank.py). Deterministic tie-break is encoded in the max_by
+struct ordering, not in row order.
 """
 
 from __future__ import annotations
@@ -29,10 +35,24 @@ def label_propagation(
     max_iter: int = 10,
     ckpt: CheckpointManager | None = None,
     resume: bool = False,
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (labels(vertex_id, label), info).
 
     resume: restart from the last durably checkpointed labels."""
+    spark = edges.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run(edges, vertices, max_iter, ckpt, resume, p)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+
+
+def _run(edges, vertices, max_iter, ckpt, resume, p):
     spark = edges.sparkSession
     sym = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -42,9 +62,12 @@ def label_propagation(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
+        .repartition(p, "dst")
         .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions("dst")
         .persist()
     )
+    sym.count()
     if vertices is None:
         vertices = sym.select(F.col("src").alias("vertex_id")).dropDuplicates(["vertex_id"])
     verts = vertices.select("vertex_id")
@@ -54,9 +77,15 @@ def label_propagation(
         last = ckpt.latest("lp")
         if last is not None:
             start_iter = last[0] + 1
-            labels = ckpt.load(spark, "lp", last[0]).select("vertex_id", "label")
+            labels = (
+                ckpt.load(spark, "lp", last[0])
+                .select("vertex_id", "label")
+                .repartition(p, "vertex_id")
+            )
     if labels is None:
-        labels = verts.select("vertex_id", F.col("vertex_id").alias("label"))
+        labels = verts.select(
+            "vertex_id", F.col("vertex_id").alias("label")
+        ).repartition(p, "vertex_id")
         labels = (
             labels.localCheckpoint() if ckpt is None else ckpt.save("lp", -1, labels)
         )
@@ -64,8 +93,13 @@ def label_propagation(
     info = {"iterations": 0, "converged": False, "superstep_secs": []}
     for it in range(start_iter, max_iter):
         t0 = time.time()
+        # labels carry hash(p, vertex_id); renamed to dst the hash
+        # matches the cached sym side — no exchange, hash join
         nbr_labels = sym.join(
-            labels.select(F.col("vertex_id").alias("dst"), "label"), "dst"
+            labels.select(F.col("vertex_id").alias("dst"), "label").hint(
+                "SHUFFLE_HASH"
+            ),
+            "dst",
         ).select(F.col("src").alias("vertex_id"), "label")
         freq = nbr_labels.groupBy("vertex_id", "label").agg(F.count("*").alias("cnt"))
         # argmax by count, tie -> min label: max_by over (cnt, -label)
@@ -74,8 +108,10 @@ def label_propagation(
                 F.col("label"), F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
             ).alias("new_label")
         )
+        # best lands hash(p, vertex_id) from its aggregation; labels
+        # already there — join needs no exchange either
         new_labels = (
-            labels.join(best, "vertex_id", "left")
+            labels.join(best.hint("SHUFFLE_HASH"), "vertex_id", "left")
             .select(
                 "vertex_id",
                 F.coalesce("new_label", "label").alias("label"),
