@@ -143,6 +143,20 @@ class TestEncodeDecode:
             adj, 200, BVGraphParams(window_size=0, min_interval_len=0))
         assert len(with_iv) < len(no_iv) / 3  # runs collapse to (left, len)
 
+    def test_windowed_sequential_scan_matches_random_access(self):
+        # entry point C (bvgraph.rs:672-713): iter_lists resolves
+        # references from the window, random access by recursion —
+        # identical output, including mid-stream ranges with warm-up
+        adj = _random_adj(250, 7, seed=21, runs=True)
+        data, offsets, out = encode_graph(adj, 250)
+        reader = BVGraphReader(data, offsets, out)
+        expect = {x: s for x, s in adj}
+        got = dict(reader.iter_lists())
+        assert got == {x: expect.get(x, []) for x in range(250)}
+        # mid-stream range
+        got_mid = dict(reader.iter_lists(100, 180))
+        assert got_mid == {x: expect.get(x, []) for x in range(100, 180)}
+
     def test_offsets_random_access_matches_sequential(self):
         adj = _random_adj(200, 6, seed=9)
         data, offsets, out = encode_graph(adj, 200)

@@ -456,8 +456,52 @@ class BVGraphReader:
         return self._decode(x, r)
 
     def _decode(self, x: int, r: BitReader) -> list[int]:
-        p = self.p
+        """Random access: position by offset, resolve references by
+        recursion on a fresh cursor (bounded by max_ref_count)."""
         r.position(self.offsets[x - self.node_base])
+
+        def resolve(y: int) -> list[int]:
+            sub = BitReader.__new__(BitReader)
+            sub.bits = r.bits
+            sub.ones = r.ones
+            sub.pos = 0
+            return self._decode(y, sub)
+
+        return self._read_list(x, r, resolve)
+
+    def iter_lists(self, start: int | None = None, stop: int | None = None):
+        """Sequential scan with a cyclic window of the last
+        window_size+1 decoded lists (the reference's entry point C,
+        bvgraph.rs:672-713,209-344): references resolve by window
+        lookup instead of recursive re-decode. A range starting
+        mid-stream warms the window by random-accessing the
+        window_size nodes before `start`. Yields (node, successors).
+        """
+        base = self.node_base
+        lo = base if start is None else start
+        hi = base + self.p.nodes if stop is None else stop
+        w = self.p.window_size
+        window: dict[int, list[int]] = {}
+        for x in range(max(base, lo - w), lo):
+            window[x] = self.successors(x)
+        r = BitReader.__new__(BitReader)
+        r.bits = self.reader.bits
+        r.ones = self.reader.ones
+        r.pos = int(self.offsets[lo - base])
+
+        def resolve(y: int) -> list[int]:
+            return window[y]
+
+        for x in range(lo, hi):
+            succ = self._read_list(x, r, resolve)
+            window[x] = succ
+            window.pop(x - w - 1, None)
+            yield x, succ
+
+    def _read_list(self, x: int, r: BitReader, resolve_ref) -> list[int]:
+        """Decode one list at the reader's current position;
+        resolve_ref(y) supplies the referenced list when needed."""
+        p = self.p
         degree = r.read_gamma()
         if degree == 0:
             return []
@@ -465,27 +509,17 @@ class BVGraphReader:
 
         blocks = []
         extra_count = degree
-        copied_tail = False
         ref_list: list[int] = []
         if reference > 0:
             block_count = r.read_gamma()
             for i in range(block_count):
                 b = r.read_gamma() + (0 if i == 0 else 1)
                 blocks.append(b)
-            # resume position bookmark not needed: recursion uses a
-            # fresh cursor over the shared bit array
-            save = r.pos
-            sub = BitReader.__new__(BitReader)
-            sub.bits = r.bits
-            sub.ones = r.ones
-            sub.pos = 0
-            ref_list = self._decode(x - reference, sub)
-            r.position(save)
+            ref_list = resolve_ref(x - reference)
             total = sum(blocks)
             copied = sum(b for i, b in enumerate(blocks) if i % 2 == 0)
             if block_count % 2 == 0:
                 copied += len(ref_list) - total
-                copied_tail = True
             extra_count = degree - copied
 
         left, length = [], []
@@ -655,10 +689,11 @@ def bvgraph_to_edges(spark, basename: str, num_slices: int | None = None):
                 if reader is None:
                     reader = BVGraphReader(bc_graph.value, bc_off.value, p)
                 srcs, dsts = [], []
-                for x in range(int(lo), int(hi)):
-                    for s in reader.successors(x):
-                        srcs.append(x)
-                        dsts.append(s)
+                # windowed sequential scan: reference chains resolve by
+                # window lookup, each list decoded exactly once
+                for x, succ in reader.iter_lists(int(lo), int(hi)):
+                    srcs.extend([x] * len(succ))
+                    dsts.extend(succ)
                 yield pd.DataFrame({"src": srcs, "dst": dsts})
 
     rdf = spark.createDataFrame(ranges, "lo long, hi long").repartition(

@@ -253,10 +253,9 @@ def decode_csr_bv(blocks: DataFrame) -> DataFrame:
                     node_base=lo,
                 )
                 srcs, dsts = [], []
-                for x in range(lo, lo + n):
-                    for s in reader.successors(x):
-                        srcs.append(x)
-                        dsts.append(s)
+                for x, succ in reader.iter_lists(lo, lo + n):
+                    srcs.extend([x] * len(succ))
+                    dsts.extend(succ)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(srcs, pa.int64()), pa.array(dsts, pa.int64())],
                     names=["src", "dst"],
