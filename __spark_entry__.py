@@ -793,6 +793,8 @@ FROM documents GROUP BY sha256(text)""",
 SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+       AS BIGINT) AS n_tokens_bpe,
   CAST(length(text) AS BIGINT) AS n_chars_norm
 FROM documents""",
         "quality_scores": quality,

@@ -79,6 +79,21 @@ def test_minhash_lsh_recall_and_precision(spark):
     assert {(0, 40), (1, 41)} <= verified
 
 
+def test_minhash_tall_view_matches_wide(spark):
+    from webgraph_spark.pipeline.dedup import (
+        minhash_signatures,
+        minhash_signatures_wide,
+    )
+
+    docs = _mk_docs(spark, 10, plant_dups=False)
+    wide = minhash_signatures_wide(docs, num_hashes=8).collect()
+    tall = {(r.doc_id, r.seed): r.minhash
+            for r in minhash_signatures(docs, num_hashes=8).collect()}
+    for row in wide:
+        for i in range(8):
+            assert tall[(row.doc_id, i)] == row[f"m{i}"]
+
+
 def test_simhash(spark):
     docs = _mk_docs(spark, 40)
     sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
@@ -99,8 +114,17 @@ def test_token_and_quality_and_lang(spark):
         ],
         "doc_id long, text string",
     )
-    toks = {r.doc_id: r.n_tokens for r in token_counts(docs).collect()}
+    trows = token_counts(docs).collect()
+    toks = {r.doc_id: r.n_tokens for r in trows}
     assert toks == {1: 8, 2: 8, 3: 0, 4: 0, 5: 8}
+    bpe = {r.doc_id: r.n_tokens_bpe for r in trows}
+    assert bpe[1] == 8 and bpe[3] == 0 and bpe[4] == 0  # plain words
+    extra = spark.createDataFrame(
+        [(9, "don't stop, 42 files!")], "doc_id long, text string"
+    )
+    # don ' t stop , 42 files !  -> 8 BPE-ish tokens vs 4 whitespace
+    r9 = token_counts(extra).collect()[0]
+    assert (r9.n_tokens, r9.n_tokens_bpe) == (4, 8)
     langs = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
     assert langs[1] == "en" and langs[2] == "de" and langs[5] == "fr"
     assert langs[3] == "und"

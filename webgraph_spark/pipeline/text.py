@@ -32,8 +32,17 @@ def _occurrences(col, needle: str):
     ) / len(needle)
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the coarse shape GPT-style byte-pair pre-splitting produces.
+# Deliberately uses only constructs whose semantics agree between Java
+# regex (Spark) and RE2-ish engines (DuckDB) so the oracle is exact.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_chars_norm) — whitespace tokenization."""
+    """(doc_id, n_tokens, n_tokens_bpe, n_chars_norm) — whitespace
+    tokenization plus a BPE-ish regex token count (letter runs, digit
+    runs, individual symbols)."""
     t = F.trim(F.col("text"))
     return docs.select(
         "doc_id",
@@ -41,6 +50,9 @@ def token_counts(docs: DataFrame) -> DataFrame:
         .otherwise(F.size(F.split(t, r"\s+")))
         .cast("long")
         .alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_bpe"),
         F.length("text").cast("long").alias("n_chars_norm"),
     )
 
