@@ -68,6 +68,29 @@ class TestCodes:
             w2.write_zeta(v, 3)
         assert w1.to_bytes() != w2.to_bytes()
 
+    def test_zuckerli_hybrid_int(self):
+        from webgraph_spark.bvgraph import (
+            read_zuck,
+            write_zuck,
+            zuck_join,
+            zuck_split,
+        )
+
+        vals = list(range(3000)) + [10**6, 10**9, 2**40]
+        # pure split/join inverse
+        for v in vals:
+            t, nb, b = zuck_split(v)
+            assert zuck_join(t, b) == v
+        # small values are their own token (the 2^k direct range)
+        for v in range(16):
+            assert zuck_split(v) == (v, 0, 0)
+        # streamed roundtrip
+        w = BitWriter()
+        for v in vals:
+            write_zuck(w, v)
+        r = BitReader(w.to_bytes())
+        assert [read_zuck(r) for _ in vals] == vals
+
     def test_zigzag(self):
         for x in [0, 1, -1, 5, -5, 2**40, -(2**40)]:
             assert nat2int(int2nat(x)) == x

@@ -164,6 +164,62 @@ class BitReader:
         return (m << 1) + self.read_int(1) - 1
 
 
+# ---------------------------------------------------------------------------
+# Zuckerli hybrid-integer token split (reference O21, encodings.rs:218-263;
+# Versari et al., IEEE Access 2020). A value is split into
+# (token, nbits, tail-bits): token = [2^k small values] ∪ [bucketed
+# (msb-run-length, i msb bits, j lsb bits)]. In Zuckerli proper the
+# token stream feeds the context-modeled Huffman coder (scoped out,
+# SURVEY §2.1 O24-O29); here the split itself is exposed plus a
+# γ-coded-token convenience for roundtrip use.
+# ---------------------------------------------------------------------------
+
+K_ZUCK, I_ZUCK, J_ZUCK = 4, 2, 1
+
+
+def zuck_split(x: int, k: int = K_ZUCK, i: int = I_ZUCK, j: int = J_ZUCK):
+    """value -> (token, nbits, bits). token < 2^k encodes the value
+    directly; larger values carry nbits explicit middle bits."""
+    if x < (1 << k):
+        return x, 0, 0
+    n = x.bit_length() - 1
+    nbits = n - i - j
+    low = x & ((1 << j) - 1)
+    xs = x >> j
+    m = (xs >> nbits) & ((1 << i) - 1)
+    bits = xs & ((1 << nbits) - 1)
+    token = (1 << k) + (((nbits - (k - i - j)) << (i + j)) | (m << j) | low)
+    return token, nbits, bits
+
+
+def zuck_join(token: int, bits: int, k: int = K_ZUCK, i: int = I_ZUCK,
+              j: int = J_ZUCK) -> int:
+    """(token, bits) -> value (inverse of zuck_split)."""
+    if token < (1 << k):
+        return token
+    nbits = k - (i + j) + ((token - (1 << k)) >> (i + j))
+    low = token & ((1 << j) - 1)
+    t = token >> j
+    return (((((1 << i) | (t & ((1 << i) - 1))) << nbits) | bits) << j) | low
+
+
+def write_zuck(w: BitWriter, x: int, k: int = K_ZUCK, i: int = I_ZUCK,
+               j: int = J_ZUCK) -> None:
+    token, nbits, bits = zuck_split(x, k, i, j)
+    w.write_gamma(token)
+    w.push_bits(bits, nbits)
+
+
+def read_zuck(r: BitReader, k: int = K_ZUCK, i: int = I_ZUCK,
+              j: int = J_ZUCK) -> int:
+    token = r.read_gamma()
+    if token < (1 << k):
+        return token
+    nbits = k - (i + j) + ((token - (1 << k)) >> (i + j))
+    bits = r.read_int(nbits)
+    return zuck_join(token, bits, k, i, j)
+
+
 def int2nat(x: int) -> int:
     """Signed -> natural (zig-zag), ref src/utils/mod.rs:13-17."""
     return (x << 1) if x >= 0 else (((-x) << 1) - 1)
