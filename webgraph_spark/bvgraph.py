@@ -447,6 +447,14 @@ def encode_graph(
             pending = next(it, None)
         else:
             succ = []
+        if any(b <= a for a, b in zip(succ, succ[1:])):
+            # the format requires strictly increasing successor lists; a
+            # duplicate would corrupt the gap stream far from its cause
+            # (the reference raises the same explicit error,
+            # bvgraph.rs list validation)
+            raise ValueError(
+                f"repeated or unsorted successor in adjacency list of node {node}"
+            )
         arcs += len(succ)
         idx = node % cbs
         offsets.append(w.written_bits)
@@ -686,9 +694,14 @@ def edges_to_bvgraph(edges, basename: str,
     """
     from pyspark.sql import functions as F
 
+    # collect_set, not collect_list: duplicate (src, dst) input rows are
+    # the same arc in a simple graph; a repeated successor would
+    # otherwise reach the gap coder and fail deep inside write_zeta
+    # (ADVICE r02 — the reference raises 'Repeated successor' instead;
+    # encode_graph keeps that explicit guard for direct API users).
     adj = (
         edges.groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("succ"))
+        .agg(F.sort_array(F.collect_set("dst")).alias("succ"))
         .orderBy("src")
     )
     n_nodes = (
@@ -734,6 +747,8 @@ def bvgraph_to_edges(spark, basename: str, num_slices: int | None = None):
         for i in range(len(bounds) - 1)
         if bounds[i] < bounds[i + 1]
     ]
+    if not ranges:  # empty graph: repartition(0, ...) would raise
+        return spark.createDataFrame([], "src long, dst long")
     bc_graph = spark.sparkContext.broadcast(graph_bytes)
     bc_off = spark.sparkContext.broadcast(offsets)
     p = params

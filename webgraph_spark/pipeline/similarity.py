@@ -126,30 +126,51 @@ def _banded_signatures(
     band ids are globally unique across tables (table * bands_per_table
     + i) so a single equi-join on (band, chunk) realizes the OR over
     all n_tables * n_planes/band_bits band-hashes.
+
+    ONE corpus scan: the n_tables plane matrices are concatenated into a
+    single (dim, n_tables*n_planes) matrix, so all signatures come from
+    one matmul per Arrow batch and all (band, chunk) rows are emitted in
+    the same pass (round-2 looped n_tables separate mapInPandas scans
+    and unioned them — n_tables full corpus reads + Python round trips;
+    VERDICT r02 'do this' #4). Per-table planes are the SAME
+    rng(seed + t) draws as before, so signatures — and measured recall —
+    are bit-identical.
     """
     bands_per_table = n_planes // band_bits
-    mask = (1 << band_bits) - 1
-    out = None
-    for t in range(n_tables):
-        sig = lsh_signatures(emb, dim, n_planes, seed + t)
-        banded = sig.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t * bands_per_table + i).alias("band"),
-                            F.shiftright(F.col("sig"), i * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("chunk"),
-                        )
-                        for i in range(bands_per_table)
-                    ]
-                )
-            ).alias("bc"),
-        ).select("vec_id", "bc.band", "bc.chunk")
-        out = banded if out is None else out.unionAll(banded)
-    return out
+    total_bands = n_tables * bands_per_table
+    planes = np.concatenate(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)], axis=1
+    )
+    # column indices of each band's bits in the concatenated bit matrix
+    # (general even when band_bits doesn't divide n_planes: leftover
+    # high bits per table are ignored, matching the old banding)
+    col_idx = np.stack(
+        [
+            t * n_planes + i * band_bits + np.arange(band_bits)
+            for t in range(n_tables)
+            for i in range(bands_per_table)
+        ]
+    )  # (total_bands, band_bits)
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
+    band_ids = np.arange(total_bands, dtype=np.int32)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (m @ planes) > 0  # (rows, n_tables*n_planes)
+            chunks = bits[:, col_idx] @ weights  # (rows, total_bands)
+            rows = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), total_bands),
+                    "band": np.tile(band_ids, rows),
+                    "chunk": chunks.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, band int, chunk long"
+    )
 
 
 def lsh_topk(

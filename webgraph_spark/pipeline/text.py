@@ -36,7 +36,10 @@ def _occurrences(col, needle: str):
 # symbol — the coarse shape GPT-style byte-pair pre-splitting produces.
 # Deliberately uses only constructs whose semantics agree between Java
 # regex (Spark) and RE2-ish engines (DuckDB) so the oracle is exact.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# The whitespace set is an EXPLICIT class, not \s: Java's \s includes
+# vertical tab \x0B, RE2's does not — \s here would silently desync the
+# engine from its oracle on \x0B-bearing text (ADVICE r02).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
