@@ -37,7 +37,7 @@ engine's own storage can use reference-chains + intervalization
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, replace
 
 import numpy as np
 
@@ -235,6 +235,24 @@ def nat2int(x: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+_CODES = ("unary", "gamma", "delta", "zeta")
+
+# (properties flag name, params field, default code) — the reference's
+# per-section code assignment (ref src/properties.rs:100-139: a flag is
+# emitted only when the section's code differs from its default; flag
+# separator is ' |', code names case-insensitive, BLOCK_COUNT parses as
+# s[0]='BLOCK' with the code at s[2])
+_CODING_FIELDS = (
+    ("OUTDEGREES", "outdegree_coding", "gamma"),
+    ("REFERENCES", "reference_coding", "unary"),
+    ("BLOCKS", "block_coding", "gamma"),
+    ("BLOCK_COUNT", "block_count_coding", "gamma"),
+    ("INTERVALS", "interval_coding", "gamma"),
+    ("RESIDUALS", "residual_coding", "zeta"),
+    ("OFFSETS", "offset_coding", "gamma"),
+)
+
+
 @dataclass
 class BVGraphParams:
     window_size: int = 7
@@ -243,12 +261,55 @@ class BVGraphParams:
     zeta_k: int = 3
     nodes: int = 0
     arcs: int = 0
+    # per-section codes (ref src/properties.rs:22-39 defaults); any of
+    # 'unary' | 'gamma' | 'delta' | 'zeta'. The interval COUNT is always
+    # γ regardless (ref bvgraph.rs:1222/788 hardcodes GammaCode).
+    outdegree_coding: str = "gamma"
+    block_coding: str = "gamma"
+    interval_coding: str = "gamma"
+    residual_coding: str = "zeta"
+    reference_coding: str = "unary"
+    block_count_coding: str = "gamma"
+    offset_coding: str = "gamma"
+
+    def __post_init__(self):
+        for _, f_, _d in _CODING_FIELDS:
+            c = getattr(self, f_)
+            if c not in _CODES:
+                raise ValueError(f"unsupported {f_}: {c!r} (one of {_CODES})")
+
+
+def _write_code(w: BitWriter, x: int, coding: str, k: int) -> None:
+    if coding == "gamma":
+        w.write_gamma(x)
+    elif coding == "zeta":
+        w.write_zeta(x, k)
+    elif coding == "delta":
+        w.write_delta(x)
+    else:
+        w.write_unary(x)
+
+
+def _read_code(r: BitReader, coding: str, k: int) -> int:
+    if coding == "gamma":
+        return r.read_gamma()
+    if coding == "zeta":
+        return r.read_zeta(k)
+    if coding == "delta":
+        return r.read_delta()
+    return r.read_unary()
 
 
 def write_properties(params: BVGraphParams, basename: str) -> None:
     """Emit the Java-properties header with the reference's exact field
     set (ref src/properties.rs:84-139; graphclass declared for
-    Java-WebGraph interop). Default codes -> empty compressionflags."""
+    Java-WebGraph interop). Non-default codes emit compressionflags in
+    the reference's format: 'NAME_code' entries joined by ' |'."""
+    flags = " |".join(
+        f"{name}_{getattr(params, f_)}"
+        for name, f_, default in _CODING_FIELDS
+        if getattr(params, f_) != default
+    )
     lines = [
         "#BVGraph properties",
         "version=0",
@@ -259,18 +320,17 @@ def write_properties(params: BVGraphParams, basename: str) -> None:
         f"maxrefcount={params.max_ref_count}",
         f"windowsize={params.window_size}",
         f"zetak={params.zeta_k}",
-        "compressionflags=",
+        f"compressionflags={flags}",
     ]
     with open(basename + ".properties", "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
 def read_properties(basename: str) -> BVGraphParams:
-    """Parse the Java-properties header (ref src/properties.rs:42-82).
-    Only the default code assignment is supported; a non-empty
-    compressionflags raises (documented deviation — the reference's
-    non-default codes are a CLI nicety, every published graph uses the
-    defaults)."""
+    """Parse the Java-properties header incl. non-default
+    compressionflags (ref src/properties.rs:42-82: flags split on '|',
+    tokens on '_', code name matched case-insensitively; BLOCK_COUNT's
+    code is the third token)."""
     kv = {}
     with open(basename + ".properties") as f:
         for line in f:
@@ -280,11 +340,22 @@ def read_properties(basename: str) -> BVGraphParams:
             if "=" in line:
                 k, _, v = line.partition("=")
                 kv[k.strip()] = v.strip()
-    if kv.get("compressionflags", ""):
-        raise NotImplementedError(
-            "non-default compressionflags not supported: "
-            + kv["compressionflags"]
-        )
+    codings = {f_: d for _, f_, d in _CODING_FIELDS}
+    by_name = {name: f_ for name, f_, _d in _CODING_FIELDS}
+    for flag in filter(None, (t.strip() for t in kv.get("compressionflags", "").split("|"))):
+        parts = flag.split("_")
+        if parts[0].upper() == "BLOCK" and len(parts) > 2:  # BLOCK_COUNT_code
+            name, code = "BLOCK_COUNT", parts[2]
+        else:
+            name, code = parts[0].upper(), parts[1]
+        if name not in by_name:
+            raise ValueError(f"unknown compression flag: {flag!r}")
+        code = code.strip().lower()
+        if code not in _CODES:
+            raise NotImplementedError(
+                f"unsupported code {code!r} in compression flag {flag!r}"
+            )
+        codings[by_name[name]] = code
     return BVGraphParams(
         window_size=int(kv["windowsize"]),
         max_ref_count=int(kv["maxrefcount"]),
@@ -292,6 +363,7 @@ def read_properties(basename: str) -> BVGraphParams:
         zeta_k=int(kv.get("zetak", "3")),
         nodes=int(kv["nodes"]),
         arcs=int(kv["arcs"]),
+        **codings,
     )
 
 
@@ -375,32 +447,35 @@ def _encode_list(
     else:
         blocks, extras = _diff_blocks(curr_list, ref_list)
 
+    k = params.zeta_k
     if params.window_size > 0:
-        w.write_unary(reference)
+        _write_code(w, reference, params.reference_coding, k)
     if reference != 0:
-        w.write_gamma(len(blocks))
+        _write_code(w, len(blocks), params.block_count_coding, k)
         for i, b in enumerate(blocks):
-            w.write_gamma(b if i == 0 else b - 1)
+            _write_code(w, b if i == 0 else b - 1, params.block_coding, k)
 
     if extras:
         if params.min_interval_len != 0:
             left, length, residuals = _intervalize(extras, params.min_interval_len)
-            w.write_gamma(len(left))
+            w.write_gamma(len(left))  # interval COUNT: always γ (bvgraph.rs:1222)
             prev = 0
             for i in range(len(left)):
                 if i == 0:
-                    w.write_gamma(int2nat(left[0] - node))
+                    _write_code(w, int2nat(left[0] - node), params.interval_coding, k)
                 else:
-                    w.write_gamma(left[i] - prev - 1)
-                w.write_gamma(length[i] - params.min_interval_len)
+                    _write_code(w, left[i] - prev - 1, params.interval_coding, k)
+                _write_code(
+                    w, length[i] - params.min_interval_len, params.interval_coding, k
+                )
                 prev = left[i] + length[i]
         else:
             residuals = extras
         if residuals:
             prev = residuals[0]
-            w.write_zeta(int2nat(prev - node), params.zeta_k)
+            _write_code(w, int2nat(prev - node), params.residual_coding, k)
             for r in residuals[1:]:
-                w.write_zeta(r - prev - 1, params.zeta_k)
+                _write_code(w, r - prev - 1, params.residual_coding, k)
                 prev = r
     return w.written_bits - start
 
@@ -458,7 +533,7 @@ def encode_graph(
         arcs += len(succ)
         idx = node % cbs
         offsets.append(w.written_bits)
-        w.write_gamma(len(succ))
+        _write_code(w, len(succ), p.outdegree_coding, p.zeta_k)
         win_list[idx] = succ
         if not succ:
             win_ref_count[idx] = 0
@@ -476,10 +551,7 @@ def encode_graph(
         win_ref_count[idx] = win_ref_count[best_cand] + 1 if best_r else 0
         _encode_list(w, node, best_r, win_list[best_cand], succ, p)
     offsets.append(w.written_bits)
-    out = BVGraphParams(
-        p.window_size, p.max_ref_count, p.min_interval_len, p.zeta_k,
-        nodes=n_nodes, arcs=arcs,
-    )
+    out = replace(p, nodes=n_nodes, arcs=arcs)
     return w.to_bytes(), offsets, out
 
 
@@ -510,7 +582,7 @@ class BVGraphReader:
 
     def outdegree(self, x: int) -> int:
         self.reader.position(self.offsets[x - self.node_base])
-        return self.reader.read_gamma()
+        return _read_code(self.reader, self.p.outdegree_coding, self.p.zeta_k)
 
     def successors(self, x: int) -> list[int]:
         r = BitReader.__new__(BitReader)  # share unpacked bits, own cursor
@@ -566,18 +638,19 @@ class BVGraphReader:
         """Decode one list at the reader's current position;
         resolve_ref(y) supplies the referenced list when needed."""
         p = self.p
-        degree = r.read_gamma()
+        k = p.zeta_k
+        degree = _read_code(r, p.outdegree_coding, k)
         if degree == 0:
             return []
-        reference = r.read_unary() if p.window_size > 0 else 0
+        reference = _read_code(r, p.reference_coding, k) if p.window_size > 0 else 0
 
         blocks = []
         extra_count = degree
         ref_list: list[int] = []
         if reference > 0:
-            block_count = r.read_gamma()
+            block_count = _read_code(r, p.block_count_coding, k)
             for i in range(block_count):
-                b = r.read_gamma() + (0 if i == 0 else 1)
+                b = _read_code(r, p.block_coding, k) + (0 if i == 0 else 1)
                 blocks.append(b)
             ref_list = resolve_ref(x - reference)
             total = sum(blocks)
@@ -588,17 +661,17 @@ class BVGraphReader:
 
         left, length = [], []
         if extra_count > 0 and p.min_interval_len != 0:
-            interval_count = r.read_gamma()
+            interval_count = r.read_gamma()  # always γ (bvgraph.rs:788)
             if interval_count:
-                first_left = nat2int(r.read_gamma()) + x
-                first_len = r.read_gamma() + p.min_interval_len
+                first_left = nat2int(_read_code(r, p.interval_coding, k)) + x
+                first_len = _read_code(r, p.interval_coding, k) + p.min_interval_len
                 left.append(first_left)
                 length.append(first_len)
                 prev = first_left + first_len
                 extra_count -= first_len
                 for _ in range(1, interval_count):
-                    l = prev + r.read_gamma() + 1
-                    ln = r.read_gamma() + p.min_interval_len
+                    l = prev + _read_code(r, p.interval_coding, k) + 1
+                    ln = _read_code(r, p.interval_coding, k) + p.min_interval_len
                     left.append(l)
                     length.append(ln)
                     prev = l + ln
@@ -606,10 +679,10 @@ class BVGraphReader:
 
         residuals = []
         if extra_count > 0:
-            v = x + nat2int(r.read_zeta(p.zeta_k))
+            v = x + nat2int(_read_code(r, p.residual_coding, k))
             residuals.append(v)
             for _ in range(extra_count - 1):
-                v = v + r.read_zeta(p.zeta_k) + 1
+                v = v + _read_code(r, p.residual_coding, k) + 1
                 residuals.append(v)
 
         # merge intervals + residuals (both sorted)
@@ -651,7 +724,7 @@ def store_bvgraph(adjacency, n_nodes: int, basename: str,
     ow = BitWriter()
     prev = 0
     for o in offsets:
-        ow.write_gamma(o - prev)
+        _write_code(ow, o - prev, out.offset_coding, out.zeta_k)
         prev = o
     with open(basename + ".offsets", "wb") as f:
         f.write(ow.to_bytes())
@@ -670,7 +743,7 @@ def load_bvgraph(basename: str) -> BVGraphReader:
     offsets = []
     cur = 0
     for _ in range(params.nodes + 1):
-        cur += orr.read_gamma()
+        cur += _read_code(orr, params.offset_coding, params.zeta_k)
         offsets.append(cur)
     return BVGraphReader(graph_bytes, offsets, params)
 
@@ -734,7 +807,7 @@ def bvgraph_to_edges(spark, basename: str, num_slices: int | None = None):
     offsets = np.empty(params.nodes + 1, dtype=np.int64)
     cur = 0
     for i in range(params.nodes + 1):
-        cur += orr.read_gamma()
+        cur += _read_code(orr, params.offset_coding, params.zeta_k)
         offsets[i] = cur
 
     n = params.nodes
