@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "graph_edges",
     "graph_out_degrees",
     "csr_roundtrip_edges",
+    "bvgraph_roundtrip_edges",
     "pagerank_top20",
     "connected_components",
     "dedup_exact_groups",

@@ -151,6 +151,31 @@ class TestEncodeDecode:
             assert reader.successors(x) == expect.get(x, []), f"node {x}"
             assert reader.outdegree(x) == len(expect.get(x, []))
 
+    def test_cost_model_matches_trial_encoding(self):
+        # the closed-form cost (Zuckerli cost-model idea, exact for
+        # fixed codes) must equal the trial-encoded bit count for every
+        # (node, reference, lists, params) combination
+        from webgraph_spark.bvgraph import BitWriter, _encode_cost, _encode_list
+
+        rng = np.random.default_rng(17)
+        param_sets = [
+            BVGraphParams(),
+            BVGraphParams(min_interval_len=0),
+            BVGraphParams(outdegree_coding="delta", residual_coding="gamma",
+                          reference_coding="gamma", block_coding="zeta",
+                          block_count_coding="delta", interval_coding="zeta"),
+        ]
+        for params in param_sets:
+            for trial in range(200):
+                node = int(rng.integers(0, 500))
+                curr = sorted(set(rng.integers(0, 600, rng.integers(1, 40)).tolist()))
+                ref = sorted(set(rng.integers(0, 600, rng.integers(0, 40)).tolist()))
+                reference = int(rng.integers(0, 4)) if ref else 0
+                w = BitWriter()
+                want = _encode_list(w, node, reference, ref, curr, params)
+                got = _encode_cost(node, reference, ref, curr, params)
+                assert got == want, (params, node, reference, ref, curr)
+
     def test_reference_chains_compress_similar_lists(self):
         # consecutive nodes share most successors -> copy blocks win
         base = sorted(np.random.default_rng(1).integers(0, 5000, 60).tolist())

