@@ -204,6 +204,43 @@ def main():
         )
     )
 
+    # 6. embedding near-dup contract query: the LSH path, never O(n^2)
+    plan6 = plan_of(entry.queries()["embedding_neardup_pairs"](spark, SF))
+    check(
+        "embedding_neardup_pairs (banded-LSH contract path)",
+        plan6,
+        [
+            ("no BroadcastNestedLoopJoin", r"BroadcastNestedLoopJoin", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+        "VERDICT r02 #3: the contract query must run the scale-safe "
+        "banded-LSH candidate join + exact verify, not the all-pairs "
+        "BNLJ (which remains a pytest verifier only).",
+        out,
+    )
+
+    # 7. ann_lsh_topk: one-pass banded signatures -> bounded corpus scans
+    plan7 = plan_of(entry.queries()["ann_lsh_topk"](spark, SF))
+    n_emb_scans = len(re.findall(r"embeddings\.parquet", plan7))
+    out.append(
+        (
+            "ann_lsh_topk (one-pass banded signatures)",
+            plan7,
+            [
+                (n_emb_scans <= 4,
+                 f"embeddings scanned <= 4 times: banded corpus + "
+                 f"banded queries + re-rank both sides (found {n_emb_scans}; "
+                 f"round-2 looped n_tables=8 signature scans)"),
+                (re.search(r"BroadcastNestedLoopJoin|CartesianProduct",
+                           plan7) is None,
+                 "candidate generation is an equi-join on (band, chunk)"),
+            ],
+            "VERDICT r02 #4: all n_tables plane matrices are concatenated "
+            "into one matmul kernel — one corpus scan produces every "
+            "(band, chunk) row.",
+        )
+    )
+
     # render
     lines = ["# PLANS — physical-plan audit (scripts/audit_plans.py)\n"]
     lines.append(
