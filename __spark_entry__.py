@@ -159,6 +159,16 @@ def _q_bvgraph_roundtrip(spark, sf_dir):
     return decode_csr_bv(build_csr_bv(testdata_graph(spark, sf_dir), num_blocks=16))
 
 
+def _q_huffgraph_roundtrip(spark, sf_dir):
+    # hybrid Huffman-BVGraph block codec (reference O24-O26 canonical
+    # Huffman + O29 hybrid: WebGraph structure, per-context canonical
+    # Huffman over Zuckerli tokens — bvgraph_huffman.py) — lossless
+    # roundtrip against the independent edge-derivation oracle
+    from webgraph_spark.csr import build_csr_huff, decode_csr_huff
+
+    return decode_csr_huff(build_csr_huff(testdata_graph(spark, sf_dir), num_blocks=16))
+
+
 def _q_csr_successors(spark, sf_dir):
     blocks = build_csr(testdata_graph(spark, sf_dir), num_blocks=16)
     return csr_successors(blocks, 1)
@@ -417,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adjacency_lists": _q_adjacency_lists,
         "csr_roundtrip_edges": _q_csr_roundtrip,
         "bvgraph_roundtrip_edges": _q_bvgraph_roundtrip,
+        "huffgraph_roundtrip_edges": _q_huffgraph_roundtrip,
         "csr_successors_node1": _q_csr_successors,
         "csr_out_degrees": _q_csr_degrees,
         "ascii_sink_lines": _q_ascii_sink_lines,
@@ -734,6 +745,7 @@ SELECT src, string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS succ_csv
 FROM e GROUP BY src""",
         "csr_roundtrip_edges": f"{g} SELECT src, dst FROM e",
         "bvgraph_roundtrip_edges": f"{g} SELECT src, dst FROM e",
+        "huffgraph_roundtrip_edges": f"{g} SELECT src, dst FROM e",
         "ascii_sink_lines": f"""{g}
 SELECT src, CAST(src AS VARCHAR) || chr(9) ||
        string_agg(CAST(dst AS VARCHAR), chr(9) ORDER BY dst) AS line
