@@ -169,6 +169,15 @@ def _q_huffgraph_roundtrip(spark, sf_dir):
     return decode_csr_huff(build_csr_huff(testdata_graph(spark, sf_dir), num_blocks=16))
 
 
+def _q_zuckerli_roundtrip(spark, sf_dir):
+    # full Zuckerli format (reference O27/O28: copy-shrunk residual
+    # deltas, RLE zero-runs, 214 contexts, cost-model reference
+    # selection — zuckerli.py) — lossless roundtrip vs the edge oracle
+    from webgraph_spark.csr import build_csr_zuck, decode_csr_zuck
+
+    return decode_csr_zuck(build_csr_zuck(testdata_graph(spark, sf_dir), num_blocks=16))
+
+
 def _q_csr_successors(spark, sf_dir):
     blocks = build_csr(testdata_graph(spark, sf_dir), num_blocks=16)
     return csr_successors(blocks, 1)
@@ -428,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csr_roundtrip_edges": _q_csr_roundtrip,
         "bvgraph_roundtrip_edges": _q_bvgraph_roundtrip,
         "huffgraph_roundtrip_edges": _q_huffgraph_roundtrip,
+        "zuckerli_roundtrip_edges": _q_zuckerli_roundtrip,
         "csr_successors_node1": _q_csr_successors,
         "csr_out_degrees": _q_csr_degrees,
         "ascii_sink_lines": _q_ascii_sink_lines,
@@ -746,6 +756,7 @@ FROM e GROUP BY src""",
         "csr_roundtrip_edges": f"{g} SELECT src, dst FROM e",
         "bvgraph_roundtrip_edges": f"{g} SELECT src, dst FROM e",
         "huffgraph_roundtrip_edges": f"{g} SELECT src, dst FROM e",
+        "zuckerli_roundtrip_edges": f"{g} SELECT src, dst FROM e",
         "ascii_sink_lines": f"""{g}
 SELECT src, CAST(src AS VARCHAR) || chr(9) ||
        string_agg(CAST(dst AS VARCHAR), chr(9) ORDER BY dst) AS line

@@ -359,6 +359,98 @@ def decode_csr_huff(blocks: DataFrame) -> DataFrame:
     return blocks.mapInArrow(_unpack, schema="src long, dst long")
 
 
+def _pack_partition_zuck(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from webgraph_spark.bvgraph import BVGraphParams
+    from webgraph_spark.zuckerli import encode_graph_zuckerli
+
+    srcs, dsts, nrows = [], [], 0
+    for b in batches:
+        srcs.append(b.column(0).to_numpy(zero_copy_only=False))
+        dsts.append(b.column(1).to_numpy(zero_copy_only=False))
+        nrows += b.num_rows
+    if nrows == 0:
+        return
+    src = np.concatenate(srcs).astype(np.int64)
+    dst = np.concatenate(dsts).astype(np.int64)
+    lo, hi = int(src[0]), int(src[-1])
+    cut = np.flatnonzero(np.diff(src)) + 1
+    starts = np.concatenate([[0], cut])
+    ends = np.concatenate([cut, [len(src)]])
+
+    def adj():
+        for s, e in zip(starts, ends):
+            yield int(src[s]), dst[s:e].tolist()
+
+    stream, bit_offsets, out = encode_graph_zuckerli(
+        adj(), hi - lo + 1, BVGraphParams(), node_base=lo
+    )
+    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+    yield pa.RecordBatch.from_pydict(
+        {
+            "part_id": [pid],
+            "node_lo": [lo],
+            "node_hi": [hi],
+            "n_nodes": [hi - lo + 1],
+            "n_edges": [int(nrows)],
+            "bit_offsets": [list(bit_offsets)],
+            "stream": [stream],
+            "bytes": [len(stream)],
+        },
+        schema=pa.schema(
+            [
+                ("part_id", pa.int32()),
+                ("node_lo", pa.int64()),
+                ("node_hi", pa.int64()),
+                ("n_nodes", pa.int64()),
+                ("n_edges", pa.int64()),
+                ("bit_offsets", pa.list_(pa.int64())),
+                ("stream", pa.binary()),
+                ("bytes", pa.int64()),
+            ]
+        ),
+    )
+
+
+def build_csr_zuck(edges: DataFrame, num_blocks: int | None = None) -> DataFrame:
+    """edges -> CSR blocks in the full Zuckerli format (reference
+    O27/O28: copy-shrunk residual deltas, RLE zero-runs, 214-context
+    entropy coding, cost-model reference selection — zuckerli.py)."""
+    p = num_blocks or int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    prepared = edges.repartitionByRange(p, "src").sortWithinPartitions("src", "dst")
+    return prepared.mapInArrow(_pack_partition_zuck, schema=CSR_BV_SCHEMA)
+
+
+def decode_csr_zuck(blocks: DataFrame) -> DataFrame:
+    """Inverse of build_csr_zuck (distributed, block-local decode)."""
+    from webgraph_spark.bvgraph import BVGraphParams
+    from webgraph_spark.zuckerli import ZuckerliReader
+
+    def _unpack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            d = b.to_pydict()
+            for i in range(b.num_rows):
+                lo = d["node_lo"][i]
+                n = d["n_nodes"][i]
+                reader = ZuckerliReader(
+                    d["stream"][i],
+                    d["bit_offsets"][i],
+                    BVGraphParams(nodes=n, arcs=d["n_edges"][i]),
+                    node_base=lo,
+                )
+                srcs, dsts = [], []
+                for x, succ in reader.iter_lists(lo, lo + n):
+                    srcs.extend([x] * len(succ))
+                    dsts.extend(succ)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(srcs, pa.int64()), pa.array(dsts, pa.int64())],
+                    names=["src", "dst"],
+                )
+
+    return blocks.mapInArrow(_unpack, schema="src long, dst long")
+
+
 def csr_out_degrees(blocks: DataFrame) -> DataFrame:
     """Outdegrees straight from indptr diffs (reference O5/O14 analog:
     offsets regeneration by prefix sums, bin/generate_offsets.rs:14-63)."""
