@@ -514,7 +514,7 @@ FROM sc
 def _jaccard_sql(threshold: float = 0.5) -> str:
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents WHERE length(trim(text)) > 0
 ), idx AS (
   SELECT doc_id, t, unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i FROM toks
@@ -719,7 +719,7 @@ WITH base AS (
          CAST(greatest(length(text), 1) AS DOUBLE) AS n,
          ' ' || lower(text) || ' ' AS p,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 1
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS toks
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS DOUBLE) AS toks
   FROM documents
 ), r AS (
   SELECT doc_id,
@@ -819,7 +819,7 @@ FROM documents GROUP BY sha256(text)""",
         "token_stats": """
 SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) AS n_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))
        AS BIGINT) AS n_tokens_bpe,
   CAST(length(text) AS BIGINT) AS n_chars_norm

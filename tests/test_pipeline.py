@@ -284,3 +284,64 @@ def test_near_dedup_clusters_transitive(spark):
     assert rows[41][0] == rows[1][0] == 1             # near-dup joins doc 1
     singles = [d for d, (c, rep) in rows.items() if c == d and rep]
     assert len(singles) >= 38  # everything else singleton-representative
+
+
+def test_whitespace_class_parity_with_duckdb(spark, tmp_path):
+    """Java's \\s includes \\x0B, RE2's (DuckDB) does not — every
+    tokenizer splits on the explicit class hashing.WS_RE so the engine
+    and its oracle agree byte-for-byte on \\x0B-bearing text (ADVICE
+    r02, applied beyond BPE_TOKEN_RE to all \\s+ splitters). Replays
+    the driver's gate on a tiny documents table whose texts exercise
+    every whitespace character."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    texts = [
+        "the quick brown fox and the lazy dog of it",
+        "vertical\x0Btab the and of splits identically here",
+        "mixed \t\n\f\r \x0B whitespace the and of tokens",
+        "  \x0B leading the quick \x0B brown fox and of trailing \x0B  ",
+        "",
+        "\x0B",
+    ]
+    pdf = pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracles = entry_mod.oracle_sql()
+    queries = entry_mod.queries()
+    for name in [
+        "token_stats",
+        "quality_scores",
+        "doc_fingerprints",
+        "lang_id",
+        "minhash_dedup_pairs",
+        "simhash_candidates",
+        "ngram_jaccard_pairs",
+    ]:
+        sdf = queries[name](spark, str(tmp_path))
+        cols = sorted(sdf.columns)
+
+        def _n(v):
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            return str(v)
+
+        srows = sorted(
+            tuple(_n(r[c]) for c in cols) for r in sdf.collect()
+        )
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        assert sorted(dcols) == cols, name
+        drows = sorted(
+            tuple(_n(dict(zip(dcols, row))[c]) for c in cols)
+            for row in res.fetchall()
+        )
+        assert srows == drows, f"{name}: engine/oracle diverge"

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from webgraph_spark.pipeline.hashing import (
     KM_PRIME,
+    WS_RE,
     km_hash,
     md5_long,
     sql_md5_long,
@@ -83,7 +84,7 @@ def _with_min_parallelism(df: DataFrame) -> DataFrame:
 def _shingles(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams, lowercased."""
     docs = _with_min_parallelism(docs)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), WS_RE)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -101,7 +102,7 @@ def shingle_sql(n: int = 5) -> str:
     m = n - 1
     return f"""
 toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  SELECT doc_id, string_split_regex(lower(trim(text)), '{WS_RE}') AS t
   FROM documents WHERE length(trim(text)) > 0
 ), idx AS (
   SELECT doc_id, t, unnest(range(1, greatest(len(t) - {m}, 1) + 1)) AS i FROM toks
@@ -541,7 +542,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """
     t = F.lower(F.trim(F.col("text")))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, WS_RE)
     )
     hs = _with_min_parallelism(docs).select(
         "doc_id", F.explode(toks).alias("tok")
@@ -629,7 +630,7 @@ def simhash_sql() -> str:
 stoks AS (
   SELECT doc_id, unnest(
     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-         ELSE string_split_regex(lower(trim(text)), '\\s+') END) AS tok
+         ELSE string_split_regex(lower(trim(text)), '{WS_RE}') END) AS tok
   FROM documents
 ),
 shash AS (SELECT doc_id, {th} AS h FROM stoks),

@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 # int64 overflow in either engine
 KM_PRIME = 999999999989
 
+# Cross-engine whitespace splitter. Java's \s includes vertical tab
+# \x0B, RE2's (DuckDB) does not — an implicit \s+ silently desyncs the
+# engine from its oracle on \x0B-bearing text (ADVICE r02). Both sides
+# therefore use this EXPLICIT class; the raw string reads identically
+# as a Java regex (Spark) and as an RE2 pattern inside a SQL literal.
+WS_RE = r"[ \t\n\x0B\f\r]+"
+
 
 def md5_long(col: Column, start: int, length: int) -> Column:
     """Integer from `length` hex chars of md5(col), 1-based `start`.

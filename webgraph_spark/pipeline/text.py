@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_spark.pipeline.hashing import WS_RE
+
 # languages scored by the occurrence count of their marker stopwords
 # (padded with spaces; counted via length arithmetic so Spark and any
 # SQL oracle agree byte-for-byte — no regexp dialect drift)
@@ -50,7 +52,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.when(F.length(t) == 0, F.lit(0))
-        .otherwise(F.size(F.split(t, r"\s+")))
+        .otherwise(F.size(F.split(t, WS_RE)))
         .cast("long")
         .alias("n_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0)))
@@ -71,7 +73,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     spaces = F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
     stops = sum(_occurrences(padded, f" {w} ") for w in ["the", "and", "of", "a"])
     toks = F.when(F.length(F.trim(text)) == 0, F.lit(1)).otherwise(
-        F.size(F.split(F.trim(text), r"\s+"))
+        F.size(F.split(F.trim(text), WS_RE))
     ).cast("double")
     alpha_ratio = alpha / n
     space_ratio = spaces.cast("double") / n
@@ -123,7 +125,7 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 
     t = F.trim(F.col("text"))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, WS_RE)
     )
     tok_hashes = F.transform(toks, lambda tok: md5_long(tok, 1, 7))
     fp = F.aggregate(
@@ -145,7 +147,7 @@ SELECT doc_id,
     list_prepend(CAST(0 AS BIGINT),
       list_transform(
         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-             ELSE string_split_regex(trim(text), '\\s+') END,
+             ELSE string_split_regex(trim(text), '{WS_RE}') END,
         tok -> {th})),
     (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fingerprint
 FROM documents
