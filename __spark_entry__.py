@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from webgraph_spark.algos.components import connected_components
 from webgraph_spark.algos.labelprop import label_propagation
+from webgraph_spark.algos.order import bfs_order, degree_order, permute_edges
 from webgraph_spark.algos.pagerank import pagerank
 from webgraph_spark.algos.pagerank_csr import pagerank_csr
 from webgraph_spark.algos.triangles import oriented_by_degree, triangle_counts, undirect
@@ -227,6 +228,28 @@ def _q_pagerank_csr_top20(spark, sf_dir):
     return ranks.orderBy(F.desc("rank"), F.asc("vertex_id")).limit(20).select(
         "vertex_id", F.round("rank", 8).alias("rank")
     )
+
+
+def _q_degree_order(spark, sf_dir):
+    # compression-friendly renumbering (algos/order.py): hubs-first
+    # dense rank by (total degree desc, vertex asc); the permutation the
+    # BV/Zuckerli codecs consume. Oracle = row_number over the same key.
+    return degree_order(testdata_graph(spark, sf_dir))
+
+
+def _q_bfs_order(spark, sf_dir):
+    # BFS-layer renumbering: (component root, BFS dist, vertex) rank via
+    # O(diameter) co-partitioned supersteps; oracle = recursive-CTE
+    # closure for roots + bounded recursive walk for distances.
+    return bfs_order(testdata_graph(spark, sf_dir))
+
+
+def _q_degree_order_edges(spark, sf_dir):
+    # permute_edges through the degree order: the renumbered edge list
+    # the codecs are built on. Two shuffled equi-joins at scale
+    # (broadcast=False is the 10^9-vertex shape).
+    e = testdata_graph(spark, sf_dir)
+    return permute_edges(e, degree_order(e))
 
 
 def _q_label_propagation(spark, sf_dir):
@@ -451,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_5iter": _q_pagerank_5iter,
         "pagerank_csr_5iter": _q_pagerank_csr_5iter,
         "label_propagation": _q_label_propagation,
+        "degree_order": _q_degree_order,
+        "bfs_order": _q_bfs_order,
+        "degree_order_edges": _q_degree_order_edges,
         # training-data pipeline
         "dedup_exact_groups": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -631,6 +657,46 @@ def _labelprop_sql(iters: int = 5) -> str:
         )
     body = ",\n".join(ctes)
     return f"{_GRAPH_CTE},\n{body}\nSELECT vertex_id, label FROM l{iters}"
+
+
+# degree order: dense rank over (total degree desc, vertex asc); total
+# degree counts both arc directions UNION ALL (mutual arcs twice), the
+# same convention as algos/order.py::_sym
+_DEGREE_ORDER_CTES = """
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+m AS (SELECT v, CAST(row_number() OVER (ORDER BY d DESC, v ASC) - 1 AS BIGINT)
+        AS new_id FROM deg)
+"""
+
+# BFS order oracle: component roots via the same recursive closure the
+# connected_components oracle uses, then BFS distances as the min length
+# over bounded recursive walks from the roots (shortest walk == shortest
+# path; the 100-step cap mirrors bfs_order's max_iter=100)
+_BFS_ORDER_SQL_TAIL = """
+usym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS v FROM usym),
+r AS (
+  WITH RECURSIVE reach(v, u) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT reach.v, usym.dst FROM reach JOIN usym ON reach.u = usym.src
+  ) SELECT * FROM reach
+),
+comp AS (SELECT v, min(u) AS root FROM r GROUP BY v),
+lv AS (
+  WITH RECURSIVE w(v, dist) AS (
+    SELECT DISTINCT root, 0 FROM comp
+    UNION
+    SELECT usym.dst, w.dist + 1
+    FROM w JOIN usym ON usym.src = w.v WHERE w.dist < 100
+  ) SELECT v, min(dist) AS dist FROM w GROUP BY v
+)
+SELECT c.v AS vertex_id,
+       CAST(row_number() OVER (ORDER BY c.root, lv.dist, c.v) - 1 AS BIGINT)
+         AS new_id
+FROM comp c JOIN lv ON lv.v = c.v
+"""
 
 
 # exact embedding-cosine near-dup pairs; also the oracle of the LSH
@@ -834,6 +900,16 @@ FROM documents""",
         "near_dedup_clusters": near_dedup_clusters_sql(threshold=0.5),
         "simhash_candidates": simhash_candidates_sql(),
         "doc_fingerprints": fingerprints_sql(),
+        "degree_order": (
+            f"{g},\n{_DEGREE_ORDER_CTES}\n"
+            "SELECT v AS vertex_id, new_id FROM m"
+        ),
+        "degree_order_edges": (
+            f"{g},\n{_DEGREE_ORDER_CTES}\n"
+            "SELECT ms.new_id AS src, md.new_id AS dst\n"
+            "FROM e JOIN m ms ON ms.v = e.src JOIN m md ON md.v = e.dst"
+        ),
+        "bfs_order": f"{g},\n{_BFS_ORDER_SQL_TAIL}",
         "pagerank_5iter": _pagerank_5iter_sql(),
         "pagerank_csr_5iter": _pagerank_5iter_sql(),
         "label_propagation": _labelprop_sql(5),

@@ -103,6 +103,27 @@ def test_job_dedup_inprocess(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_job_order_inprocess(spark, tmp_path):
+    """--algorithm order writes both the mapping and the permuted edges,
+    and the permutation is a bijection consistent with the edge count."""
+    from webgraph_spark import job
+
+    out = str(tmp_path / "oout")
+    s = job.run([
+        "--algorithm", "order", "--order-by", "degree", "--synth-files", "80",
+        "--checkpoint-dir", str(tmp_path / "ock"), "--output", out,
+        "--master", "local[8]",
+    ])
+    assert s["order_by"] == "degree"
+    mapping = spark.read.parquet(os.path.join(out, "order"))
+    n = mapping.count()
+    assert mapping.select("new_id").distinct().count() == n
+    assert mapping.agg({"new_id": "max"}).first()[0] == n - 1
+    permuted = spark.read.parquet(os.path.join(out, "order_edges"))
+    assert permuted.count() == s["n_edges"]
+
+
+@pytest.mark.slow
 def test_spark_submit_pagerank_and_resume(tmp_path):
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")

@@ -36,7 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="webgraph_spark cluster job")
     p.add_argument("--algorithm", required=True,
                    choices=["pagerank", "pagerank_csr", "components", "labelprop",
-                            "triangles", "build", "dedup"])
+                            "triangles", "build", "dedup", "order"])
+    p.add_argument("--order-by", default="degree", choices=["degree", "bfs"],
+                   help="vertex ordering for --algorithm order: hubs-first "
+                        "degree rank (default) or BFS layers per component")
     p.add_argument("--source-table", default=None,
                    help="parquet path (or Iceberg table via --iceberg) of "
                         "(repo,path,commit,lang,content); default: synthesize")
@@ -168,6 +171,23 @@ def run(argv: list[str]) -> dict:
     elif args.algorithm == "triangles":
         result, total_df = triangle_counts(edges)
         info = {"n_triangles": int(total_df.first()["n_triangles"])}
+    elif args.algorithm == "order":
+        # compression-friendly renumbering: write the mapping AND the
+        # permuted edge list (the input the BV/Zuckerli codecs want)
+        from webgraph_spark.algos.order import (
+            bfs_order, degree_order, permute_edges,
+        )
+
+        mapping = (
+            degree_order(edges) if args.order_by == "degree"
+            else bfs_order(edges, max_iter=args.max_iter)
+        )
+        result = mapping
+        permuted = permute_edges(edges, mapping)
+        permuted.write.mode("overwrite").parquet(
+            os.path.join(args.output, "order_edges")
+        )
+        info = {"order_by": args.order_by}
     # "build" -> CSR table only
 
     if result is not None:
