@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 
 from webgraph_spark.algos.components import connected_components
 from webgraph_spark.algos.labelprop import label_propagation
+from webgraph_spark.algos.hyperball import (
+    harmonic_centrality,
+    harmonic_sql,
+    hyperball,
+    hyperball_sql,
+)
 from webgraph_spark.algos.order import bfs_order, degree_order, permute_edges
 from webgraph_spark.algos.pagerank import pagerank
 from webgraph_spark.algos.pagerank_csr import pagerank_csr
@@ -257,6 +263,21 @@ def _q_label_propagation(spark, sf_dir):
     return labels
 
 
+def _q_hyperball_nf3(spark, sf_dir):
+    # HyperBall neighborhood function (algos/hyperball.py): HLL sketch
+    # merge, 3 rounds, m=16 registers. EXACTLY oracle-checked — the
+    # sketch is a deterministic function of md5-derived registers, so
+    # the DuckDB twin replays the merge as unrolled CTEs and matches
+    # estimates (4dp) plus the integer sketch digest bit-for-bit.
+    return hyperball(testdata_graph(spark, sf_dir), t=3, m=16)
+
+
+def _q_harmonic_centrality3(spark, sf_dir):
+    # harmonic centrality from the same sketches: telescoping deltas of
+    # per-round ball estimates, clamped at 0, summed with 1/k weights
+    return harmonic_centrality(testdata_graph(spark, sf_dir), t=3, m=16)
+
+
 def _q_pagerank_5iter(spark, sf_dir):
     # fixed-iteration PageRank: exactly 5 supersteps (tol=0 disables the
     # early-convergence break), oracle = the update equation unrolled as
@@ -477,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_order": _q_degree_order,
         "bfs_order": _q_bfs_order,
         "degree_order_edges": _q_degree_order_edges,
+        "hyperball_nf3": _q_hyperball_nf3,
+        "harmonic_centrality3": _q_harmonic_centrality3,
         # training-data pipeline
         "dedup_exact_groups": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -910,6 +933,8 @@ FROM documents""",
             "FROM e JOIN m ms ON ms.v = e.src JOIN m md ON md.v = e.dst"
         ),
         "bfs_order": f"{g},\n{_BFS_ORDER_SQL_TAIL}",
+        "hyperball_nf3": f"{g},\n{hyperball_sql(t=3, m=16)}",
+        "harmonic_centrality3": f"{g},\n{harmonic_sql(t=3, m=16)}",
         "pagerank_5iter": _pagerank_5iter_sql(),
         "pagerank_csr_5iter": _pagerank_5iter_sql(),
         "label_propagation": _labelprop_sql(5),

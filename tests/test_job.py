@@ -124,6 +124,23 @@ def test_job_order_inprocess(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_job_hyperball_inprocess(spark, tmp_path):
+    from webgraph_spark import job
+
+    out = str(tmp_path / "hout")
+    s = job.run([
+        "--algorithm", "hyperball", "--synth-files", "60",
+        "--checkpoint-dir", str(tmp_path / "hck"), "--output", out,
+        "--master", "local[8]", "--max-iter", "2",
+    ])
+    assert s["rounds"] == 2
+    res = spark.read.parquet(os.path.join(out, "hyperball"))
+    assert res.count() > 0
+    # every estimate covers at least the vertex itself
+    assert res.agg({"nf_est": "min"}).first()[0] >= 0.9
+
+
+@pytest.mark.slow
 def test_spark_submit_pagerank_and_resume(tmp_path):
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")

@@ -1,0 +1,281 @@
+"""HyperBall: approximate neighborhood function + harmonic centrality.
+
+The reference engine's lineage (WebGraph) exists largely to feed this
+algorithm — Boldi–Vigna's HyperBall ("In-core computation of geometric
+centralities with HyperBall", 2013) runs HyperLogLog counter unions
+along the arcs of a compressed graph to estimate, for every vertex v,
+the ball size |B(v, t)| = #vertices within distance <= t, and from the
+per-round deltas the harmonic centrality sum_{u != v} 1/d(v, u). The
+caba5/WebGraph reference provides the storage/access layer only; this
+module supplies the analytic on top, Spark-first.
+
+Design — exactly oracle-checkable approximation:
+  The sketch is DETERMINISTIC cross-engine. Register index and rank
+  derive from the md5 hashing module (pipeline/hashing.py) that the
+  MinHash family already shares with DuckDB:
+    h1, h2 = 60-bit ints from md5(vertex id) hex chars [1,15], [16,30]
+    register j = h1 % m
+    rank rho  = (#trailing zeros of h2) + 1  — geometric(1/2), computed
+                as bit_count((h2 & -h2) - 1) + 1: pure int64 arithmetic
+                that is bit-identical in Spark and DuckDB (no log2 /
+                leading-zero floating hazard).
+  A superstep is an idempotent max-merge, so the whole t-round run is
+  reproducible at any parallelism and the driver's DuckDB gate can
+  replay it as t unrolled CTE rounds and match value hashes exactly
+  (estimates rounded to 4dp; the 2^-rho sums are exact in binary64 for
+  any realistic rank range, so both engines compute identical sums).
+
+Scale design (the 100 TB shape):
+  State is the EXPLODED register relation (v, reg, rho) — at most m
+  rows per vertex — the HADI/distributed-HyperBall layout: the merge
+  becomes a plain co-partitioned join + hash aggregation, all JVM, and
+  partial aggregation (map-side combine) caps shuffle volume per round
+  at |distinct (dst, reg) per map partition| regardless of fan-in, the
+  same property that makes the PageRank contribution shuffle safe under
+  hub skew. Self-retention is folded into the arc set as identity arcs
+  so the state relation is referenced ONCE per round (Spark re-executes
+  non-materialized subplans referenced twice — components.py lesson).
+  Per round: ONE co-partitioned SHUFFLE_HASH join + ONE hash exchange
+  on v (the groupBy(v, reg) reuses the hash(v) repartition: Hash(v)
+  satisfies ClusteredDistribution(v, reg)). AQE stays off inside the
+  loop (checkpointed-partitioning rationale, pagerank.py) and is
+  restored in finally. m and t are knobs: shuffle bytes scale as
+  m x |E| per round, error as 1.04/sqrt(m).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webgraph_spark.pipeline.hashing import md5_long, sql_md5_long
+
+# Flajolet et al. bias-correction constants
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    if m in _ALPHA:
+        return _ALPHA[m]
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _init_registers(vertices: DataFrame, m: int) -> DataFrame:
+    """(v, reg, rho): the singleton-{v} HLL sketch, one row per vertex."""
+    vs = F.col("v").cast("string")
+    hashed = vertices.select(
+        "v",
+        md5_long(vs, 1, 15).alias("_h1"),
+        md5_long(vs, 16, 15).alias("_h2"),
+    )
+    rho = F.when(F.col("_h2") == 0, F.lit(61)).otherwise(
+        F.expr("bit_count((_h2 & -_h2) - 1) + 1")
+    )
+    return hashed.select(
+        "v",
+        (F.col("_h1") % m).cast("int").alias("reg"),
+        rho.cast("int").alias("rho"),
+    )
+
+
+def _estimate_cols(m: int):
+    """HLL estimate columns over a (v, reg, rho) group: n_regs, sum_rho
+    (exact ints — the float-free sketch digest) and the bias-corrected
+    estimate with small-range (linear-counting) correction."""
+    a = _alpha(m)
+    n_regs = F.count("*")
+    s = F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+    raw = F.lit(a * m * m) / ((F.lit(float(m)) - n_regs) + s)
+    v_zero = F.lit(m) - n_regs
+    est = F.when(
+        (raw <= 2.5 * m) & (v_zero > 0), F.lit(float(m)) * F.log(m / v_zero)
+    ).otherwise(raw)
+    return n_regs, est
+
+
+def hyperball(
+    edges: DataFrame,
+    t: int = 3,
+    m: int = 16,
+    directed: bool = False,
+) -> DataFrame:
+    """Per-vertex neighborhood-function estimates after t merge rounds.
+
+    Returns (vertex_id, nf_est, sum_rho, n_regs): nf_est ~ |B(v, t)|
+    (4dp), sum_rho / n_regs the exact integer digest of the final
+    sketch. directed=False (default) runs on the symmetrized graph;
+    directed=True estimates out-reachability balls (counters flow
+    AGAINST the arcs: B(v) absorbs B(w) for w in successors(v)).
+    """
+    return _run(edges, t, m, directed)[-1].drop("_est_raw")
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    t: int = 3,
+    m: int = 16,
+    directed: bool = False,
+) -> DataFrame:
+    """(vertex_id, harm_est): HyperBall harmonic centrality — the
+    telescoping sum over rounds k=1..t of (|B(k)| - |B(k-1)|)/k, each
+    ball size taken from the round-k sketch (negative deltas clamp to
+    0: estimates are monotone up to estimator noise)."""
+    rounds = _run(edges, t, m, directed)
+    per_round = None
+    for k, df in enumerate(rounds):
+        step = df.select(
+            "vertex_id", F.lit(k).alias("k"), F.col("_est_raw").alias("est")
+        )
+        per_round = step if per_round is None else per_round.unionAll(step)
+    w = Window.partitionBy("vertex_id").orderBy("k")
+    deltas = per_round.withColumn("prev", F.lag("est").over(w)).filter(
+        F.col("k") >= 1
+    )
+    return (
+        deltas.groupBy("vertex_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.greatest(F.col("est") - F.col("prev"), F.lit(0.0))
+                    / F.col("k")
+                ),
+                4,
+            ).alias("harm_est")
+        )
+    )
+
+
+def _run(edges: DataFrame, t: int, m: int, directed: bool) -> list[DataFrame]:
+    """The shared t-round merge loop; returns one estimate DataFrame per
+    round 0..t (each carries `_est_raw` for harmonic's telescoping)."""
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    e = edges.select("src", "dst")
+    if not directed:
+        arcs = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    else:
+        # counters flow against the arcs: state(dst) -> v=src
+        arcs = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .dropDuplicates(["v"])
+    )
+    # identity arcs fold self-retention into the join so state is
+    # referenced exactly once per round
+    arcs = arcs.unionAll(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+    arcs = arcs.repartition(p, "src").persist()
+    try:
+        state = _init_registers(verts, m).repartition(p, "v").localCheckpoint(
+            eager=True
+        )
+        out = [_round_estimate(state, m)]
+        for _ in range(t):
+            state = (
+                arcs.join(
+                    state.withColumnRenamed("v", "src").hint("SHUFFLE_HASH"),
+                    "src",
+                )
+                .select(F.col("dst").alias("v"), "reg", "rho")
+                .repartition(p, "v")
+                .groupBy("v", "reg")
+                .agg(F.max("rho").alias("rho"))
+                .localCheckpoint(eager=True)
+            )
+            out.append(_round_estimate(state, m))
+        return out
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        arcs.unpersist()
+
+
+def _round_estimate(state: DataFrame, m: int) -> DataFrame:
+    n_regs, est = _estimate_cols(m)
+    return state.groupBy(F.col("v").alias("vertex_id")).agg(
+        F.round(est, 4).alias("nf_est"),
+        F.sum("rho").cast("long").alias("sum_rho"),
+        n_regs.cast("long").alias("n_regs"),
+        est.alias("_est_raw"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (unrolled CTE rounds over the same md5 registers)
+# ---------------------------------------------------------------------------
+
+
+def _sql_init(m: int) -> list[str]:
+    h1 = sql_md5_long("CAST(v AS VARCHAR)", 1, 15)
+    h2 = sql_md5_long("CAST(v AS VARCHAR)", 16, 15)
+    return [
+        "sym AS (SELECT src, dst FROM e UNION ALL"
+        " SELECT dst AS src, src AS dst FROM e)",
+        "verts AS (SELECT DISTINCT src AS v FROM sym)",
+        "arcs AS (SELECT src, dst FROM sym UNION ALL"
+        " SELECT v AS src, v AS dst FROM verts)",
+        f"""st0 AS (
+  SELECT v, CAST(({h1}) % {m} AS INT) AS reg,
+         CAST(CASE WHEN ({h2}) = 0 THEN 61
+              ELSE bit_count((({h2}) & -({h2})) - 1) + 1 END AS INT) AS rho
+  FROM verts)""",
+    ]
+
+
+def _sql_round(k: int) -> str:
+    return (
+        f"st{k} AS (SELECT a.dst AS v, s.reg, max(s.rho) AS rho"
+        f" FROM arcs a JOIN st{k - 1} s ON s.v = a.src GROUP BY 1, 2)"
+    )
+
+
+def _sql_est(k: int, m: int) -> str:
+    a = _alpha(m)
+    return f"""est{k} AS (
+  SELECT v, count(*) AS n_regs, CAST(sum(rho) AS BIGINT) AS sum_rho,
+         sum(power(2.0, -rho)) AS s
+  FROM st{k} GROUP BY v
+), fin{k} AS (
+  SELECT v, n_regs, sum_rho,
+         CASE WHEN ({a * m * m}) / (({m}.0 - n_regs) + s) <= {2.5 * m}
+                   AND ({m} - n_regs) > 0
+              THEN {m}.0 * ln({m}.0 / ({m} - n_regs))
+              ELSE ({a * m * m}) / (({m}.0 - n_regs) + s) END AS est
+  FROM est{k})"""
+
+
+def hyperball_sql(t: int = 3, m: int = 16) -> str:
+    """Oracle body (no leading WITH): joins onto a CTE `e(src, dst)`."""
+    ctes = _sql_init(m)
+    for k in range(1, t + 1):
+        ctes.append(_sql_round(k))
+    ctes.append(_sql_est(t, m))
+    body = ",\n".join(ctes)
+    return (
+        f"{body}\n"
+        f"SELECT v AS vertex_id, round(est, 4) AS nf_est, sum_rho,\n"
+        f"       CAST(n_regs AS BIGINT) AS n_regs\nFROM fin{t}"
+    )
+
+
+def harmonic_sql(t: int = 3, m: int = 16) -> str:
+    """Oracle body for harmonic_centrality: per-round estimates, clamped
+    telescoping deltas."""
+    ctes = _sql_init(m)
+    ctes.append(_sql_est(0, m))
+    for k in range(1, t + 1):
+        ctes.append(_sql_round(k))
+        ctes.append(_sql_est(k, m))
+    deltas = " UNION ALL ".join(
+        f"SELECT a.v, greatest(a.est - b.est, 0.0) / {k}.0 AS d"
+        f" FROM fin{k} a JOIN fin{k - 1} b USING (v)"
+        for k in range(1, t + 1)
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"{body},\ndeltas AS ({deltas})\n"
+        f"SELECT v AS vertex_id, round(sum(d), 4) AS harm_est"
+        f" FROM deltas GROUP BY v"
+    )

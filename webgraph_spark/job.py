@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="webgraph_spark cluster job")
     p.add_argument("--algorithm", required=True,
                    choices=["pagerank", "pagerank_csr", "components", "labelprop",
-                            "triangles", "build", "dedup", "order"])
+                            "triangles", "build", "dedup", "order", "hyperball"])
     p.add_argument("--order-by", default="degree", choices=["degree", "bfs"],
                    help="vertex ordering for --algorithm order: hubs-first "
                         "degree rank (default) or BFS layers per component")
@@ -171,6 +171,11 @@ def run(argv: list[str]) -> dict:
     elif args.algorithm == "triangles":
         result, total_df = triangle_counts(edges)
         info = {"n_triangles": int(total_df.first()["n_triangles"])}
+    elif args.algorithm == "hyperball":
+        from webgraph_spark.algos.hyperball import hyperball
+
+        result = hyperball(edges, t=min(args.max_iter, 8))
+        info = {"rounds": min(args.max_iter, 8)}
     elif args.algorithm == "order":
         # compression-friendly renumbering: write the mapping AND the
         # permuted edge list (the input the BV/Zuckerli codecs want)
