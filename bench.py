@@ -65,8 +65,12 @@ BENCH_QUERIES = [
     "graph_out_degrees",
     "csr_roundtrip_edges",
     "bvgraph_roundtrip_edges",
+    "huffgraph_roundtrip_edges",
+    "zuckerli_roundtrip_edges",
+    "degree_order_edges",
     "pagerank_top20",
     "connected_components",
+    "hyperball_nf3",
     "dedup_exact_groups",
     "token_stats",
     "quality_scores",

@@ -241,6 +241,83 @@ def main():
         )
     )
 
+    # 8. HyperBall merge round: one exchange, co-partitioned SHUFFLE_HASH
+    from webgraph_spark.algos.hyperball import _init_registers
+
+    e8 = edges.filter("src != dst").select("src", "dst")
+    sym8 = e8.unionAll(
+        e8.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts8 = (
+        e8.select(F.col("src").alias("v"))
+        .unionAll(e8.select(F.col("dst").alias("v")))
+        .dropDuplicates(["v"])
+    )
+    arcs8 = sym8.unionAll(
+        verts8.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+    ).repartition(8, "src").persist()
+    arcs8.count()
+    st8 = _init_registers(verts8, 16).repartition(8, "v").localCheckpoint()
+    round8 = (
+        arcs8.join(st8.withColumnRenamed("v", "src").hint("SHUFFLE_HASH"), "src")
+        .select(F.col("dst").alias("v"), "reg", "rho")
+        .repartition(8, "v")
+        .groupBy("v", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    plan8 = plan_of(round8)
+    tree8 = plan8.split("\n\n")[0].splitlines()
+    n_ex8 = 0
+    cache_indent = None
+    for line in tree8:
+        ind = indent_of(line)
+        if cache_indent is not None and ind <= cache_indent:
+            cache_indent = None
+        if cache_indent is None and "InMemoryRelation" in line:
+            cache_indent = ind
+            continue
+        if cache_indent is None and re.search(r"\bExchange\b", line):
+            n_ex8 += 1
+    out.append(
+        (
+            "hyperball merge round (register max-union)",
+            plan8,
+            [
+                (n_ex8 == 1,
+                 f"exactly 1 executed exchange outside the cached arc "
+                 f"relation (found {n_ex8}) — the groupBy(v, reg) reuses "
+                 f"the hash(v) repartition (Hash(v) satisfies "
+                 f"ClusteredDistribution(v, reg))"),
+                (re.search(r"ShuffledHashJoin", plan8) is not None,
+                 "state join is ShuffledHashJoin (checkpointed hash(v) "
+                 "partitioning, no sorts)"),
+                (re.search(r"SortMergeJoin", plan8) is None,
+                 "no sort-merge join in the loop"),
+                (re.search(r"partial_max|HashAggregate", plan8) is not None,
+                 "max-merge map-side combines before the exchange"),
+            ],
+            "Per HyperBall round the only data movement is the register "
+            "message shuffle; hub fan-in is capped by partial aggregation.",
+        )
+    )
+
+    # 9. degree-order permute: equi-joins only, never a cross product
+    plan9 = plan_of(entry.queries()["degree_order_edges"](spark, SF))
+    check(
+        "degree_order_edges (permutation joins)",
+        plan9,
+        [
+            ("no BroadcastNestedLoopJoin", r"BroadcastNestedLoopJoin", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no global single-partition sort (SinglePartition)",
+             r"Exchange SinglePartition", False),
+        ],
+        "Renumbering at 10^9 vertices must stay an equi-join pipeline; "
+        "the rank itself comes from range-partitioned dense_ids, never "
+        "a one-reducer row_number window.",
+        out,
+    )
+
     # render
     lines = ["# PLANS — physical-plan audit (scripts/audit_plans.py)\n"]
     lines.append(
