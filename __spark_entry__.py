@@ -253,8 +253,10 @@ def _q_bfs_order(spark, sf_dir):
 def _q_degree_order_edges(spark, sf_dir):
     # permute_edges through the degree order: the renumbered edge list
     # the codecs are built on. Two shuffled equi-joins at scale
-    # (broadcast=False is the 10^9-vertex shape).
-    e = testdata_graph(spark, sf_dir)
+    # (broadcast=False is the 10^9-vertex shape). The derived edge
+    # table feeds both the degree pass and the permute joins —
+    # materialize it once.
+    e = testdata_graph(spark, sf_dir).localCheckpoint(eager=True)
     return permute_edges(e, degree_order(e))
 
 

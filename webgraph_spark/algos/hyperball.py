@@ -107,7 +107,11 @@ def hyperball(
     directed=True estimates out-reachability balls (counters flow
     AGAINST the arcs: B(v) absorbs B(w) for w in successors(v)).
     """
-    return _run(edges, t, m, directed)[-1].drop("_est_raw")
+    # eager=False: only the final round is consumed, and every
+    # intermediate state is referenced exactly once in its chain, so
+    # the whole t-round merge runs as ONE job (lazy checkpoints still
+    # truncate lineage for any later reuse)
+    return _run(edges, t, m, directed, eager=False)[-1].drop("_est_raw")
 
 
 def harmonic_centrality(
@@ -145,13 +149,27 @@ def harmonic_centrality(
     )
 
 
-def _run(edges: DataFrame, t: int, m: int, directed: bool) -> list[DataFrame]:
+def _run(
+    edges: DataFrame, t: int, m: int, directed: bool, eager: bool = True
+) -> list[DataFrame]:
     """The shared t-round merge loop; returns one estimate DataFrame per
-    round 0..t (each carries `_est_raw` for harmonic's telescoping)."""
+    round 0..t (each carries `_est_raw` for harmonic's telescoping).
+
+    eager=True materializes every round (required when MULTIPLE rounds'
+    estimates will be consumed — harmonic — since a non-materialized
+    state referenced by both its estimate and the next round would
+    re-execute); eager=False defers everything to the caller's single
+    action (hyperball's final-round-only path)."""
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # AQE off only for the EAGER (multi-action) loop, where it would
+    # re-plan checkpointed partitioning to Unknown between actions
+    # (pagerank.py rationale). The lazy path compiles ONE plan — AQE
+    # cannot break explicit repartition requirements there, and the
+    # conf must not be flipped back before the caller's action anyway.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true") if eager else None
+    if eager:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     e = edges.select("src", "dst")
     if not directed:
@@ -170,7 +188,7 @@ def _run(edges: DataFrame, t: int, m: int, directed: bool) -> list[DataFrame]:
     arcs = arcs.repartition(p, "src").persist()
     try:
         state = _init_registers(verts, m).repartition(p, "v").localCheckpoint(
-            eager=True
+            eager=eager
         )
         out = [_round_estimate(state, m)]
         for _ in range(t):
@@ -183,13 +201,18 @@ def _run(edges: DataFrame, t: int, m: int, directed: bool) -> list[DataFrame]:
                 .repartition(p, "v")
                 .groupBy("v", "reg")
                 .agg(F.max("rho").alias("rho"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=eager)
             )
             out.append(_round_estimate(state, m))
         return out
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        arcs.unpersist()
+        if eager:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+            # eager mode materialized every round — the arc cache is
+            # done. Lazy mode must LEAVE it cached: the caller's single
+            # action references arcs t+1 times (computed once, reused
+            # from cache within the job; freed by clearCache/GC).
+            arcs.unpersist()
 
 
 def _round_estimate(state: DataFrame, m: int) -> DataFrame:

@@ -161,6 +161,10 @@ def permute_edges(
     m = mapping.select("vertex_id", "new_id")
     if broadcast:
         m = F.broadcast(m)
+    else:
+        # referenced by BOTH renumbering joins below — materialize so
+        # the (potentially expensive) ordering plan runs once
+        m = m.localCheckpoint(eager=True)
     return (
         edges.join(m.withColumnRenamed("vertex_id", "src"), "src")
         .select(F.col("new_id").alias("_nsrc"), "dst")

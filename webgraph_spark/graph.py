@@ -35,6 +35,12 @@ def dense_ids(
     parted = (
         distinct.repartitionByRange(p, *[F.col(c) for c in key_cols])
         .withColumn("_pid", F.spark_partition_id())
+        # materialize once: `parted` is consumed by BOTH the offsets
+        # collect and the returned plan, and repartitionByRange adds a
+        # sampling pass — without this the whole upstream derivation
+        # executes three times (Spark re-runs non-materialized subplans
+        # per reference)
+        .localCheckpoint(eager=True)
     )
     counts = parted.groupBy("_pid").count().collect()
     offsets, acc = {}, 0
