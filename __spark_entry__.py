@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from webgraph_spark.algos.components import connected_components
 from webgraph_spark.algos.labelprop import label_propagation
 from webgraph_spark.algos.hyperball import (
+    distance_distribution,
+    distance_distribution_sql,
     harmonic_centrality,
     harmonic_sql,
     hyperball,
@@ -60,6 +62,7 @@ from webgraph_spark.pipeline.multimodal import (
     synth_media,
 )
 from webgraph_spark.pipeline.similarity import brute_force_topk, ivf_topk, lsh_topk
+from webgraph_spark.streaming import event_sessions_sql
 from webgraph_spark.pipeline.text import (
     fingerprints,
     fingerprints_sql,
@@ -280,6 +283,13 @@ def _q_harmonic_centrality3(spark, sf_dir):
     return harmonic_centrality(testdata_graph(spark, sf_dir), t=3, m=16)
 
 
+def _q_distance_distribution(spark, sf_dir):
+    # global neighborhood function NF(k), k=0..3: sum of per-vertex
+    # ball estimates as an exact integer digest (rounded*1e4 BEFORE the
+    # sum, so the cross-engine total is order-independent)
+    return distance_distribution(testdata_graph(spark, sf_dir), t=3, m=16)
+
+
 def _q_pagerank_5iter(spark, sf_dir):
     # fixed-iteration PageRank: exactly 5 supersteps (tol=0 disables the
     # early-convergence break), oracle = the update equation unrolled as
@@ -456,6 +466,16 @@ def _q_window_rank(spark, sf_dir):
     )
 
 
+def _q_event_sessions(spark, sf_dir):
+    # gap-based sessionization (streaming.py batch twin of the
+    # applyInPandasWithState stateful operator): lag-window gap flags,
+    # running-sum session ids, one fold — exact DuckDB oracle
+    from webgraph_spark.streaming import batch_event_sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return batch_event_sessions(ev, gap="30 minutes")
+
+
 def _q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -502,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_order_edges": _q_degree_order_edges,
         "hyperball_nf3": _q_hyperball_nf3,
         "harmonic_centrality3": _q_harmonic_centrality3,
+        "distance_distribution": _q_distance_distribution,
         # training-data pipeline
         "dedup_exact_groups": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -527,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": _q_anti_join,
         "window_rank": _q_window_rank,
         "events_window": _q_events_window,
+        "event_sessions": _q_event_sessions,
     }
 
 
@@ -937,6 +959,7 @@ FROM documents""",
         "bfs_order": f"{g},\n{_BFS_ORDER_SQL_TAIL}",
         "hyperball_nf3": f"{g},\n{hyperball_sql(t=3, m=16)}",
         "harmonic_centrality3": f"{g},\n{harmonic_sql(t=3, m=16)}",
+        "distance_distribution": f"{g},\n{distance_distribution_sql(t=3, m=16)}",
         "pagerank_5iter": _pagerank_5iter_sql(),
         "pagerank_csr_5iter": _pagerank_5iter_sql(),
         "label_propagation": _labelprop_sql(5),
@@ -979,4 +1002,5 @@ SELECT o_custkey, o_orderkey, rn FROM (
 SELECT date_trunc('hour', ts) AS hour_ts, event_type,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "event_sessions": event_sessions_sql(gap="30 minutes"),
     }

@@ -160,3 +160,28 @@ class TestEstimateAccuracy:
             if exact > 0:
                 errs.append(abs(got[v] - exact) / exact)
         assert float(np.mean(errs)) < 0.15
+
+
+class TestDistanceDistribution:
+    def test_matches_python_per_round_sums(self, spark, graph):
+        from webgraph_spark.algos.hyperball import distance_distribution
+
+        t, m = 3, 16
+        rows = [(r["src"], r["dst"]) for r in graph.collect()]
+        adj = _adj(rows)
+        got = {
+            r["round"]: r["nf_e4"]
+            for r in distance_distribution(graph, t=t, m=m).collect()
+        }
+        assert set(got) == set(range(t + 1))
+        for k in range(t + 1):
+            want = 0
+            for v in adj:
+                regs: dict = {}
+                for u in _ball(adj, v, k):
+                    reg, rho = _py_register(u, m)
+                    regs[reg] = max(regs.get(reg, 0), rho)
+                want += round(_py_estimate(regs, m) * 10000)
+            assert got[k] == want, f"round {k}"
+        # NF(k) is non-decreasing in k
+        assert all(got[k] <= got[k + 1] for k in range(t))

@@ -302,3 +302,50 @@ def harmonic_sql(t: int = 3, m: int = 16) -> str:
         f"SELECT v AS vertex_id, round(sum(d), 4) AS harm_est"
         f" FROM deltas GROUP BY v"
     )
+
+
+# ---------------------------------------------------------------------------
+# distance distribution (the analytic HyperBall was built for)
+# ---------------------------------------------------------------------------
+
+
+def distance_distribution(
+    edges: DataFrame, t: int = 3, m: int = 16, directed: bool = False
+) -> DataFrame:
+    """(round, nf_e4): the neighborhood function NF(k) = sum over v of
+    |B(v, k)| for k = 0..t — the curve whose saturation point is the
+    effective diameter and whose increments give the distance
+    distribution (Boldi–Vigna's four-degrees-of-separation analytic).
+
+    nf_e4 = sum of per-vertex estimates scaled by 1e4 and rounded to
+    integers BEFORE summing: the cross-engine digest stays exact
+    integer arithmetic (a float sum over all vertices would be
+    order-dependent in its last ulp and could flip a rounded total).
+    """
+    rounds = _run(edges, t, m, directed, eager=True)
+    out = None
+    for k, df in enumerate(rounds):
+        step = df.agg(
+            F.sum(
+                F.round(F.col("_est_raw") * 10000, 0).cast("long")
+            ).alias("nf_e4")
+        ).select(F.lit(k).cast("long").alias("round"), "nf_e4")
+        out = step if out is None else out.unionAll(step)
+    return out
+
+
+def distance_distribution_sql(t: int = 3, m: int = 16) -> str:
+    """Oracle body (no leading WITH): per-round integer-digest sums."""
+    ctes = _sql_init(m)
+    ctes.append(_sql_est(0, m))
+    for k in range(1, t + 1):
+        ctes.append(_sql_round(k))
+        ctes.append(_sql_est(k, m))
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round,"
+        f" CAST(sum(CAST(round(est * 10000, 0) AS BIGINT)) AS BIGINT) AS nf_e4"
+        f" FROM fin{k}"
+        for k in range(t + 1)
+    )
+    body = ",\n".join(ctes)
+    return f"{body}\n{selects}"

@@ -123,3 +123,211 @@ def start_events_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: gap-based sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = (
+    "event_type string, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long, s double"
+
+
+def _sessionize(gap_seconds: int):
+    """Builds the per-key stateful kernel for applyInPandasWithState.
+
+    State = the one OPEN session per key as epoch-micros ints (start,
+    last, n, sum). Each trigger receives only that key's NEW rows
+    (Arrow batches); the kernel sorts them by event time, splits on
+    gaps > gap_seconds, emits every CLOSED session, and parks the last
+    one in state with an event-time timeout at last + gap: when the
+    watermark passes that point, Spark calls the kernel once more with
+    state.hasTimedOut and the final session is emitted. Out-of-order
+    rows inside the watermark are handled by the sort; older rows are
+    dropped upstream by the watermark itself.
+    """
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        rows = []
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [s],
+                }
+            )
+            return
+        for pdf in pdf_iter:
+            rows.append(pdf[["ts", "value"]])
+        if not rows:
+            return
+        ev = pd.concat(rows).sort_values("ts")
+        ts = ev["ts"].astype("int64") // 1000  # ns -> epoch micros
+        val = ev["value"].to_numpy()
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start = last = None
+        out = []
+        for t, v in zip(ts.to_numpy(), val):
+            if start is None:
+                start, last, n, s = int(t), int(t), 1, float(v)
+            elif int(t) - last > gap_us:
+                out.append((start, last, n, s))
+                start, last, n, s = int(t), int(t), 1, float(v)
+            else:
+                last, n, s = max(last, int(t)), n + 1, s + float(v)
+        state.update((start, last, n, s))
+        state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    "session_start": [pd.Timestamp(a, unit="us") for a, _, _, _ in out],
+                    "session_end": [pd.Timestamp(b, unit="us") for _, b, _, _ in out],
+                    "n_events": [c for _, _, c, _ in out],
+                    "sum_value": [d for _, _, _, d in out],
+                }
+            )
+
+    return fn
+
+
+def stream_event_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessions per event_type — the custom stateful operator
+    the built-in windowed aggregates can't express (a session's extent
+    depends on the DATA, not a fixed grid). Built on
+    applyInPandasWithState with event-time timeouts: state is one open
+    session per key, closed sessions stream out exactly once.
+
+    Scale shape: state is O(#keys), not O(#events); each trigger moves
+    one Arrow batch per key partition through the Python worker, and
+    the shuffle is the same hash(event_type) exchange a groupBy costs.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_seconds = int(pd_interval_seconds(gap))
+    ev = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _sessionize(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def pd_interval_seconds(interval: str) -> float:
+    """'30 minutes' / '2 hours' / '45 seconds' -> seconds."""
+    n, unit = interval.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return float(n) * mult
+
+
+def start_sessions_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    return (
+        stream_event_sessions(spark, input_dir, gap, watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch twin of the sessionizer (exactly oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def batch_event_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions over a STATIC events table — the exact batch
+    semantics the streaming stateful operator converges to once every
+    session has timed out. All-JVM: lag window flags gap breaks, a
+    running sum numbers sessions, one aggregation folds them.
+
+    Scale note: the window partitions by event_type — fine when key
+    cardinality ~ cluster width; the streaming path (state O(keys),
+    incremental) is the shape for unbounded data. Used as the contract
+    query so the session semantics are DuckDB-oracle-checked exactly.
+    """
+    from pyspark.sql import Window
+
+    # compare in exact epoch MICROS on both engines: the testdata ts
+    # have microsecond parts, and a seconds cast (Spark truncates,
+    # DuckDB's epoch() keeps fractions) would silently desync the oracle
+    gap_us = int(pd_interval_seconds(gap)) * 1_000_000
+    w = Window.partitionBy("event_type").orderBy("ts")
+    # ts may be TIMESTAMP_NTZ (parquet); unix_micros needs TIMESTAMP.
+    # The cast's session-timezone offset is a CONSTANT, which cancels
+    # in the gap subtraction — only differences matter here.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = events.withColumn(
+        "_brk",
+        (us - F.lag(us).over(w) > gap_us).cast("int"),
+    ).withColumn(
+        "_sid",
+        F.sum(F.coalesce(F.col("_brk"), F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("event_type", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .drop("_sid")
+    )
+
+
+def event_sessions_sql(gap: str = "30 minutes") -> str:
+    """DuckDB twin of batch_event_sessions (identical gap/session ids)."""
+    gap_us = int(pd_interval_seconds(gap)) * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT ts, event_type, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT event_type, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY event_type, sid
+"""
