@@ -185,3 +185,28 @@ class TestDistanceDistribution:
             assert got[k] == want, f"round {k}"
         # NF(k) is non-decreasing in k
         assert all(got[k] <= got[k + 1] for k in range(t))
+
+
+class TestCheckpointResume:
+    def test_resume_is_bit_identical(self, spark, graph, tmp_path):
+        """Run 2 rounds checkpointed, resume to 4: identical output to
+        an uninterrupted 4-round run (max-merge idempotence), resumed
+        rounds start after the last snapshot (no recompute)."""
+        from webgraph_spark.checkpoint import CheckpointManager
+
+        ck = str(tmp_path / "hb")
+        c1 = CheckpointManager(ck)
+        hyperball(graph, t=2, m=16, ckpt=c1).collect()
+        assert c1.latest("hyperball")[0] == 2
+        n_metrics = len([m for m in c1.metrics() if m["algo"] == "hyperball"])
+        assert n_metrics == 3  # rounds 0..2 snapshotted
+
+        c2 = CheckpointManager(ck)
+        resumed = sorted(
+            map(tuple, hyperball(graph, t=4, m=16, ckpt=c2, resume=True).collect())
+        )
+        fresh = sorted(map(tuple, hyperball(graph, t=4, m=16).collect()))
+        assert resumed == fresh
+        assert c2.latest("hyperball")[0] == 4
+        new = [m for m in c2.metrics() if m["algo"] == "hyperball"][n_metrics:]
+        assert sorted(m["round"] for m in new) == [3, 4]  # only new rounds

@@ -98,6 +98,8 @@ def hyperball(
     t: int = 3,
     m: int = 16,
     directed: bool = False,
+    ckpt=None,
+    resume: bool = False,
 ) -> DataFrame:
     """Per-vertex neighborhood-function estimates after t merge rounds.
 
@@ -106,12 +108,19 @@ def hyperball(
     sketch. directed=False (default) runs on the symmetrized graph;
     directed=True estimates out-reachability balls (counters flow
     AGAINST the arcs: B(v) absorbs B(w) for w in successors(v)).
+
+    ckpt (CheckpointManager): durably snapshot each round's register
+    state (north-rule checkpoint discipline); resume=True restarts the
+    merge from the last completed round — the max-merge is idempotent,
+    so a resumed run is bit-identical to an uninterrupted one.
     """
-    # eager=False: only the final round is consumed, and every
+    # eager=False (no ckpt): only the final round is consumed, and every
     # intermediate state is referenced exactly once in its chain, so
     # the whole t-round merge runs as ONE job (lazy checkpoints still
     # truncate lineage for any later reuse)
-    return _run(edges, t, m, directed, eager=False)[-1].drop("_est_raw")
+    return _run(
+        edges, t, m, directed, eager=ckpt is not None, ckpt=ckpt, resume=resume
+    )[-1].drop("_est_raw")
 
 
 def harmonic_centrality(
@@ -150,7 +159,13 @@ def harmonic_centrality(
 
 
 def _run(
-    edges: DataFrame, t: int, m: int, directed: bool, eager: bool = True
+    edges: DataFrame,
+    t: int,
+    m: int,
+    directed: bool,
+    eager: bool = True,
+    ckpt=None,
+    resume: bool = False,
 ) -> list[DataFrame]:
     """The shared t-round merge loop; returns one estimate DataFrame per
     round 0..t (each carries `_est_raw` for harmonic's telescoping).
@@ -159,7 +174,10 @@ def _run(
     estimates will be consumed — harmonic — since a non-materialized
     state referenced by both its estimate and the next round would
     re-execute); eager=False defers everything to the caller's single
-    action (hyperball's final-round-only path)."""
+    action (hyperball's final-round-only path). With ckpt, every round's
+    (v, reg, rho) state is a durable parquet snapshot (iter=k) with
+    per-partition lineage metrics; resume reloads rounds 0..last and
+    merges onward from there."""
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # AQE off only for the EAGER (multi-action) loop, where it would
@@ -187,12 +205,29 @@ def _run(
     arcs = arcs.unionAll(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
     arcs = arcs.repartition(p, "src").persist()
     try:
-        state = _init_registers(verts, m).repartition(p, "v").localCheckpoint(
-            eager=eager
-        )
-        out = [_round_estimate(state, m)]
-        for _ in range(t):
-            state = (
+        states: list[DataFrame] = []
+        start = 0
+        if ckpt is not None and resume:
+            last = ckpt.latest("hyperball")
+            if last is not None:
+                # max-merge is idempotent: reloading round `start` and
+                # merging onward is bit-identical to the full run
+                start = min(last[0], t)
+                states = [
+                    ckpt.load(spark, "hyperball", k) for k in range(start + 1)
+                ]
+        if not states:
+            st0 = _init_registers(verts, m).repartition(p, "v")
+            st0 = (
+                ckpt.save("hyperball", 0, st0, m=m, round=0)
+                if ckpt is not None
+                else st0.localCheckpoint(eager=eager)
+            )
+            states, start = [st0], 0
+        state = states[-1]
+        out = [_round_estimate(s, m) for s in states]
+        for k in range(start, t):
+            new_state = (
                 arcs.join(
                     state.withColumnRenamed("v", "src").hint("SHUFFLE_HASH"),
                     "src",
@@ -201,7 +236,11 @@ def _run(
                 .repartition(p, "v")
                 .groupBy("v", "reg")
                 .agg(F.max("rho").alias("rho"))
-                .localCheckpoint(eager=eager)
+            )
+            state = (
+                ckpt.save("hyperball", k + 1, new_state, m=m, round=k + 1)
+                if ckpt is not None
+                else new_state.localCheckpoint(eager=eager)
             )
             out.append(_round_estimate(state, m))
         return out

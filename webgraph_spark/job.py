@@ -174,7 +174,9 @@ def run(argv: list[str]) -> dict:
     elif args.algorithm == "hyperball":
         from webgraph_spark.algos.hyperball import hyperball
 
-        result = hyperball(edges, t=min(args.max_iter, 8))
+        result = hyperball(
+            edges, t=min(args.max_iter, 8), ckpt=ckpt, resume=args.resume
+        )
         info = {"rounds": min(args.max_iter, 8)}
     elif args.algorithm == "order":
         # compression-friendly renumbering: write the mapping AND the
