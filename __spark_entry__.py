@@ -4,14 +4,16 @@ entry(spark)  -> flagship query (PageRank top-20 over the derived link
                  graph at sf0.001).
 queries()     -> one callable per implemented operator (SURVEY.md §2).
 oracle_sql()  -> DuckDB-runnable ANSI SQL twin for every SQL-expressible
-                 query — 39 of 43, including the iterative algorithms
+                 query — 46 of 50, including the iterative algorithms
                  as unrolled fixed-iteration CTE chains (pagerank_5iter,
-                 pagerank_csr_5iter, label_propagation), the whole
-                 MinHash/SimHash/fingerprint family via cross-engine
-                 md5-derived hashing (pipeline/hashing.py), recursive
-                 closures for components/clusters, and the multimodal
-                 stub geometry. The 4 rows-only queries (convergence
-                 PageRank x2, approximate ANN top-k x2) are fixture- or
+                 pagerank_csr_5iter, label_propagation, the HyperBall
+                 family), the whole MinHash/SimHash/fingerprint family
+                 via cross-engine md5-derived hashing
+                 (pipeline/hashing.py), recursive closures for
+                 components/clusters/BFS-order, gap sessionization in
+                 epoch-micros, and the multimodal stub geometry. The 4
+                 rows-only queries (convergence PageRank x2,
+                 approximate ANN top-k x2) are fixture- or
                  measured-recall-tested in tests/ instead.
 
 Column names and types are aligned pairwise (see each query's comment);

@@ -119,3 +119,22 @@ def test_bv_local_index_matches_csr_index(spark, small_graph):
     stats = bv.bench_random_queries(n_queries=2_000)
     assert stats["point_ns_per_query"] > 0
     assert stats["compressed_bytes_per_edge"] > 0
+
+
+def test_entropy_codec_indexes_match_csr_index(spark, small_graph):
+    """The huffman and zuckerli block codecs serve point queries through
+    the same BvLocalIndex surface, identically to the varint truth."""
+    from webgraph_spark.csr import build_csr_huff, build_csr_zuck
+    from webgraph_spark.local_index import BvLocalIndex
+
+    edges, n, src, dst = small_graph
+    idx = CsrLocalIndex.from_blocks(build_csr(edges, num_blocks=8))
+    for build, codec in ((build_csr_huff, "huffman"), (build_csr_zuck, "zuckerli")):
+        k = BvLocalIndex.from_blocks(build(edges, num_blocks=8), codec=codec)
+        assert k.num_arcs == idx.num_arcs
+        rng = np.random.default_rng(11)
+        for x in rng.integers(0, n, 40).tolist() + [0, n - 1]:
+            assert np.array_equal(
+                k.successors(int(x)), idx.successors(int(x))
+            ), f"{codec} mismatch at node {x}"
+            assert k.outdegree(int(x)) == idx.outdegree(int(x))

@@ -218,22 +218,43 @@ class CsrLocalIndex:
         }
 
 
+def _block_reader_cls(codec: str):
+    """The per-block random-access reader for a codec family — all
+    three share the (stream, offsets, params, node_base) constructor
+    and outdegree/successors surface."""
+    if codec == "bv":
+        from webgraph_spark.bvgraph import BVGraphReader
+
+        return BVGraphReader
+    if codec in ("huff", "huffman"):
+        from webgraph_spark.bvgraph_huffman import HuffBVGraphReader
+
+        return HuffBVGraphReader
+    if codec in ("zuck", "zuckerli"):
+        from webgraph_spark.zuckerli import ZuckerliReader
+
+        return ZuckerliReader
+    raise ValueError(f"unknown codec {codec!r}")
+
+
 class BvLocalIndex:
-    """Random-access serving path over BVGraph-coded CSR blocks
-    (csr.build_csr_bv) — the 0.63 B/edge density option previously had
-    no single-node point-query surface. A point query random-accesses
-    exactly one list via the block's per-node bit_offsets, resolving
-    reference chains recursively (bounded by max_ref_count) like the
-    reference's entry point B (bvgraph.rs:732-978)."""
+    """Random-access serving path over entropy-coded CSR blocks —
+    build_csr_bv (default), build_csr_huff, or build_csr_zuck via the
+    `codec` switch; the density options previously had no single-node
+    point-query surface. A point query random-accesses exactly one list
+    via the block's per-node bit_offsets, resolving reference chains
+    recursively (bounded by max_ref_count) like the reference's entry
+    point B (bvgraph.rs:732-978; zuckerli_in.rs random access)."""
 
-    def __init__(self, blocks_rows):
-        from webgraph_spark.bvgraph import BVGraphParams, BVGraphReader
+    def __init__(self, blocks_rows, codec: str = "bv"):
+        from webgraph_spark.bvgraph import BVGraphParams
 
+        reader_cls = _block_reader_cls(codec)
         rows = sorted(blocks_rows, key=lambda r: r["node_lo"])
         self._los = np.array([r["node_lo"] for r in rows], dtype=np.int64)
         self._his = np.array([r["node_hi"] for r in rows], dtype=np.int64)
         self._readers = [
-            BVGraphReader(
+            reader_cls(
                 bytes(r["stream"]),
                 np.asarray(r["bit_offsets"], dtype=np.int64),
                 BVGraphParams(nodes=int(r["n_nodes"]), arcs=int(r["n_edges"])),
@@ -246,9 +267,10 @@ class BvLocalIndex:
         self.compressed_bytes = int(sum(len(bytes(r["stream"])) for r in rows))
 
     @classmethod
-    def from_blocks(cls, blocks_df) -> "BvLocalIndex":
-        """blocks_df: DataFrame from build_csr_bv (or its parquet table)."""
-        return cls([r.asDict() for r in blocks_df.collect()])
+    def from_blocks(cls, blocks_df, codec: str = "bv") -> "BvLocalIndex":
+        """blocks_df: DataFrame from build_csr_bv / build_csr_huff /
+        build_csr_zuck (or their parquet tables)."""
+        return cls([r.asDict() for r in blocks_df.collect()], codec=codec)
 
     def _block_of(self, x: int) -> int:
         i = int(np.searchsorted(self._los, x, side="right")) - 1
