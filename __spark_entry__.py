@@ -478,6 +478,15 @@ def _q_event_sessions(spark, sf_dir):
     return batch_event_sessions(ev, gap="30 minutes")
 
 
+def _q_user_sessions(spark, sf_dir):
+    # the per-user variant: key cardinality scales with the data, so
+    # the session window parallelizes — the 100 TB sessionization shape
+    from webgraph_spark.streaming import batch_event_sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return batch_event_sessions(ev, gap="30 minutes", keys=("user_id",))
+
+
 def _q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -551,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": _q_window_rank,
         "events_window": _q_events_window,
         "event_sessions": _q_event_sessions,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -1005,4 +1015,5 @@ SELECT date_trunc('hour', ts) AS hour_ts, event_type,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
         "event_sessions": event_sessions_sql(gap="30 minutes"),
+        "user_sessions": event_sessions_sql(gap="30 minutes", keys=("user_id",)),
     }

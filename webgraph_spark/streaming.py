@@ -269,16 +269,21 @@ def start_sessions_stream(
 # ---------------------------------------------------------------------------
 
 
-def batch_event_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def batch_event_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
     """Gap-based sessions over a STATIC events table — the exact batch
     semantics the streaming stateful operator converges to once every
     session has timed out. All-JVM: lag window flags gap breaks, a
     running sum numbers sessions, one aggregation folds them.
 
-    Scale note: the window partitions by event_type — fine when key
-    cardinality ~ cluster width; the streaming path (state O(keys),
-    incremental) is the shape for unbounded data. Used as the contract
-    query so the session semantics are DuckDB-oracle-checked exactly.
+    keys: the session grouping (default per event_type; keys=
+    ("user_id",) is the classic per-user shape, whose cardinality
+    scales with the data — the window parallelizes across keys). Used
+    as contract queries so the session semantics are
+    DuckDB-oracle-checked exactly.
     """
     from pyspark.sql import Window
 
@@ -286,7 +291,7 @@ def batch_event_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFram
     # have microsecond parts, and a seconds cast (Spark truncates,
     # DuckDB's epoch() keeps fractions) would silently desync the oracle
     gap_us = int(pd_interval_seconds(gap)) * 1_000_000
-    w = Window.partitionBy("event_type").orderBy("ts")
+    w = Window.partitionBy(*keys).orderBy("ts")
     # ts may be TIMESTAMP_NTZ (parquet); unix_micros needs TIMESTAMP.
     # The cast's session-timezone offset is a CONSTANT, which cancels
     # in the gap subtraction — only differences matter here.
@@ -301,7 +306,7 @@ def batch_event_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFram
         ),
     )
     return (
-        flagged.groupBy("event_type", "_sid")
+        flagged.groupBy(*keys, "_sid")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
@@ -312,22 +317,25 @@ def batch_event_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
-def event_sessions_sql(gap: str = "30 minutes") -> str:
+def event_sessions_sql(
+    gap: str = "30 minutes", keys: tuple[str, ...] = ("event_type",)
+) -> str:
     """DuckDB twin of batch_event_sessions (identical gap/session ids)."""
     gap_us = int(pd_interval_seconds(gap)) * 1_000_000
+    kl = ", ".join(keys)
     return f"""
 WITH flagged AS (
-  SELECT ts, event_type, value,
+  SELECT ts, {kl}, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
               THEN 1 ELSE 0 END AS brk
   FROM events
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+  WINDOW w AS (PARTITION BY {kl} ORDER BY ts)
 ), numbered AS (
-  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+  SELECT *, sum(brk) OVER (PARTITION BY {kl} ORDER BY ts
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
-SELECT event_type, min(ts) AS session_start, max(ts) AS session_end,
+SELECT {kl}, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
-FROM numbered GROUP BY event_type, sid
+FROM numbered GROUP BY {kl}, sid
 """
