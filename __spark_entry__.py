@@ -332,6 +332,23 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def _q_lang_id_eval(spark, sf_dir):
+    # pipeline QA: confusion counts of the n-gram language detector
+    # against the table's ground-truth lang column — the evaluation
+    # loop a production lang-id filter needs. (On this synthetic corpus
+    # the text is English-marker-shaped regardless of its lang label,
+    # and the confusion matrix exposes exactly that — the operator
+    # under test here is the evaluation plumbing.)
+    docs = _docs(spark, sf_dir)
+    preds = lang_id(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(preds, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def _q_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.5)
 
@@ -539,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
+        "lang_id_eval": _q_lang_id_eval,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "near_dedup_clusters": _q_near_dedup_clusters,
@@ -951,6 +969,12 @@ SELECT doc_id,
 FROM documents""",
         "quality_scores": quality,
         "lang_id": _lang_id_sql(),
+        "lang_id_eval": (
+            f"WITH preds AS ({_lang_id_sql()})\n"
+            "SELECT d.lang, p.pred_lang, count(*) AS n_docs\n"
+            "FROM documents d JOIN preds p USING (doc_id)\n"
+            "GROUP BY d.lang, p.pred_lang"
+        ),
         "ngram_jaccard_pairs": _jaccard_sql(0.5),
         "minhash_dedup_pairs": (
             f"WITH {minhash_pairs_sql(threshold=0.5).strip()}\n"

@@ -318,6 +318,21 @@ def main():
         out,
     )
 
+    # 10. per-user sessionization: the window parallelizes across keys
+    plan10 = plan_of(entry.queries()["user_sessions"](spark, SF))
+    check(
+        "user_sessions (keyed gap sessionization)",
+        plan10,
+        [
+            ("window partitioned by the session key (no single-partition "
+             "global window)", r"Exchange SinglePartition", False),
+            ("session fold is a hash aggregation", r"HashAggregate|ObjectHashAggregate|SortAggregate", True),
+        ],
+        "Sessionization must scale with key cardinality: the lag/sum "
+        "windows and the final fold all hash-partition on user_id.",
+        out,
+    )
+
     # render
     lines = ["# PLANS — physical-plan audit (scripts/audit_plans.py)\n"]
     lines.append(
