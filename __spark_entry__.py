@@ -66,11 +66,15 @@ from webgraph_spark.pipeline.multimodal import (
 from webgraph_spark.pipeline.similarity import brute_force_topk, ivf_topk, lsh_topk
 from webgraph_spark.streaming import event_sessions_sql
 from webgraph_spark.pipeline.text import (
+    CORPUS_STATS_SQL,
+    VOCAB_TOP_SQL,
+    corpus_stats,
     fingerprints,
     fingerprints_sql,
     lang_id,
     quality_scores,
     token_counts,
+    vocab_top_terms,
 )
 
 _GRAPH_CTE = f"WITH e AS ({TESTDATA_GRAPH_SQL})"
@@ -349,6 +353,18 @@ def _q_lang_id_eval(spark, sf_dir):
     )
 
 
+def _q_corpus_stats(spark, sf_dir):
+    # per-source composition rollup (docs, tokens, mean quality) — the
+    # dataset-card / mixture-design report, one hash agg
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def _q_vocab_top(spark, sf_dir):
+    # exact top-50 heavy hitters over the token stream: explode ->
+    # map-side-combined two-phase agg -> small global top-k
+    return vocab_top_terms(_docs(spark, sf_dir), k=50)
+
+
 def _q_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.5)
 
@@ -557,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "lang_id_eval": _q_lang_id_eval,
+        "corpus_stats": _q_corpus_stats,
+        "vocab_top_terms": _q_vocab_top,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "near_dedup_clusters": _q_near_dedup_clusters,
@@ -975,6 +993,8 @@ FROM documents""",
             "FROM documents d JOIN preds p USING (doc_id)\n"
             "GROUP BY d.lang, p.pred_lang"
         ),
+        "corpus_stats": CORPUS_STATS_SQL,
+        "vocab_top_terms": VOCAB_TOP_SQL,
         "ngram_jaccard_pairs": _jaccard_sql(0.5),
         "minhash_dedup_pairs": (
             f"WITH {minhash_pairs_sql(threshold=0.5).strip()}\n"

@@ -152,3 +152,95 @@ SELECT doc_id,
     (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fingerprint
 FROM documents
 """
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, total_tokens, avg_quality_r4) — per-source
+    corpus composition report: the rollup a dataset card / mixture
+    designer reads. One partial+final hash aggregation over the fused
+    token-count + quality projections (no extra corpus scans)."""
+    toks = token_counts(docs).select("doc_id", "n_tokens")
+    qual = quality_scores(docs).select("doc_id", "quality")
+    return (
+        docs.select("doc_id", "source")
+        .join(toks, "doc_id")
+        .join(qual, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality_r4"),
+        )
+    )
+
+
+def vocab_top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
+    """(token, n_occurrences, n_docs) — the k most frequent lowercase
+    whitespace tokens, ties broken by token ascending. The exact
+    top-k heavy-hitter shape: explode -> two-phase hash agg (map-side
+    combine absorbs per-partition repetition) -> small global top-k.
+    At 100 TB the same plan holds because the aggregated key space
+    (vocabulary) is sublinear in the corpus; only the final limit is
+    driver-sized."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), WS_RE)
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
+CORPUS_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), qual AS (
+  -- round(.., 6) mirrors the engine's quality_scores OUTPUT rounding:
+  -- corpus_stats averages the rounded per-doc quality
+  SELECT doc_id,
+    round(least(1.0,
+      (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.5
+      + least(
+          (( (length(p) - length(replace(p, ' the ', ''))) / 5.0
+           + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+           + (length(p) - length(replace(p, ' of ', ''))) / 4.0
+           + (length(p) - length(replace(p, ' a ', ''))) / 3.0 ) / toks2) * 2.0,
+          0.5)), 6) AS quality
+  FROM (
+    SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 1
+                ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END
+                AS DOUBLE) AS toks2
+    FROM documents
+  )
+)
+SELECT d.source, count(*) AS n_docs, sum(t.n_tokens) AS total_tokens,
+       round(avg(q.quality), 4) AS avg_quality_r4
+FROM documents d JOIN toks t USING (doc_id) JOIN qual q USING (doc_id)
+GROUP BY d.source
+"""
+
+VOCAB_TOP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+         '[ \\t\\n\\x0B\\f\\r]+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 50
+"""
