@@ -4,7 +4,7 @@ entry(spark)  -> flagship query (PageRank top-20 over the derived link
                  graph at sf0.001).
 queries()     -> one callable per implemented operator (SURVEY.md §2).
 oracle_sql()  -> DuckDB-runnable ANSI SQL twin for every SQL-expressible
-                 query — 46 of 50, including the iterative algorithms
+                 query — 52 of 56, including the iterative algorithms
                  as unrolled fixed-iteration CTE chains (pagerank_5iter,
                  pagerank_csr_5iter, label_propagation, the HyperBall
                  family), the whole MinHash/SimHash/fingerprint family

@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "token_stats",
     "quality_scores",
+    "corpus_stats",
+    "vocab_top_terms",
+    "user_sessions",
     "minhash_dedup_pairs",
     "ann_brute_topk",
     "agg_pushdown",
