@@ -210,3 +210,34 @@ class TestCheckpointResume:
         assert c2.latest("hyperball")[0] == 4
         new = [m for m in c2.metrics() if m["algo"] == "hyperball"][n_metrics:]
         assert sorted(m["round"] for m in new) == [3, 4]  # only new rounds
+
+
+class TestEffectiveDiameter:
+    def test_path_graph_matches_exact_interpolation(self, spark):
+        """12-node path: the merge fixpoints after exactly diameter=11
+        rounds, and the interpolated 90% effective diameter tracks the
+        exact NF curve (m=256 keeps linear counting nearly exact at
+        these ball sizes)."""
+        from webgraph_spark.algos.hyperball import effective_diameter
+
+        n = 12
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        got = effective_diameter(e, alpha=0.9, m=256, max_t=32)
+        assert got["rounds"] == n - 1  # fixpoint at the true diameter
+
+        # exact NF curve + same interpolation
+        adj = _adj([(i, i + 1) for i in range(n - 1)])
+        nf = []
+        for t in range(n):
+            nf.append(sum(len(_ball(adj, v, t)) for v in adj))
+        target = 0.9 * nf[-1]
+        for t, val in enumerate(nf):
+            if val >= target:
+                exact = (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+                break
+        assert abs(got["effective_diameter"] - exact) < 0.5
+        # NF estimates track the exact curve within a few percent
+        rel = [abs(a - b) / b for a, b in zip(got["nf"], nf)]
+        assert max(rel) < 0.05

@@ -388,3 +388,98 @@ def distance_distribution_sql(t: int = 3, m: int = 16) -> str:
     )
     body = ",\n".join(ctes)
     return f"{body}\n{selects}"
+
+
+def effective_diameter(
+    edges: DataFrame,
+    alpha: float = 0.9,
+    m: int = 64,
+    max_t: int = 64,
+    directed: bool = False,
+) -> dict:
+    """The HyperANF headline number: the interpolated smallest t at
+    which NF(t) >= alpha * NF(inf) (Boldi-Rosa-Vigna's four-degrees
+    methodology). Runs merge rounds until the global sketch digest
+    reaches its fixpoint (every ball saturated its component), then
+    interpolates linearly inside the crossing round.
+
+    Returns {"effective_diameter", "rounds", "nf": [NF(0)..NF(T)]}.
+    One extra scalar aggregation per round (rides the materialized
+    round state); the fixpoint stop means diameter+1 rounds total.
+    """
+    spark = edges.sparkSession
+    rounds_nf: list[float] = []
+    prev_digest = None
+    # reuse the eager loop one round at a time: resume-free manual loop
+    # mirroring _run's merge step, with a per-round NF + digest action
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    e = edges.select("src", "dst")
+    if not directed:
+        arcs = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        arcs = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .dropDuplicates(["v"])
+    )
+    arcs = arcs.unionAll(
+        verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+    ).repartition(p, "src").persist()
+    try:
+        state = _init_registers(verts, m).repartition(p, "v").localCheckpoint()
+        for _ in range(max_t + 1):
+            _, est = _estimate_cols(m)
+            row = (
+                state.groupBy("v").agg(est.alias("e"))
+                .agg(
+                    F.sum("e").alias("nf"),
+                    F.expr("bit_xor(xxhash64(v))").alias("h"),
+                ).collect()[0]
+            )
+            # digest: per-round global sketch fingerprint — when no
+            # register changed, every ball is saturated (fixpoint)
+            dig = state.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(v, reg, rho))").alias("h"),
+            ).collect()[0]
+            rounds_nf.append(float(row["nf"]))
+            cur = (dig["n"], dig["h"])
+            if cur == prev_digest:
+                rounds_nf.pop()  # the repeat adds no information
+                break
+            prev_digest = cur
+            state = (
+                arcs.join(
+                    state.withColumnRenamed("v", "src").hint("SHUFFLE_HASH"),
+                    "src",
+                )
+                .select(F.col("dst").alias("v"), "reg", "rho")
+                .repartition(p, "v")
+                .groupBy("v", "reg")
+                .agg(F.max("rho").alias("rho"))
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        arcs.unpersist()
+
+    target = alpha * rounds_nf[-1]
+    eff = float(len(rounds_nf) - 1)
+    for t in range(len(rounds_nf)):
+        if rounds_nf[t] >= target:
+            if t == 0:
+                eff = 0.0
+            else:
+                lo, hi = rounds_nf[t - 1], rounds_nf[t]
+                eff = (t - 1) + (target - lo) / (hi - lo) if hi > lo else float(t)
+            break
+    return {
+        "effective_diameter": round(eff, 4),
+        "rounds": len(rounds_nf) - 1,
+        "nf": [round(x, 2) for x in rounds_nf],
+    }
