@@ -113,12 +113,16 @@ def _q_graph_edges(spark, sf_dir):
 
 
 def _q_graph_counts(spark, sf_dir):
-    e = testdata_graph(spark, sf_dir)
+    # one derivation, one distributed plan: distinct-endpoint count and
+    # arc count fused instead of two driver-side count() jobs that each
+    # re-derive the edge table
+    e = testdata_graph(spark, sf_dir).localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("v")).unionAll(
         e.select(F.col("dst").alias("v"))
-    ).dropDuplicates(["v"])
-    return spark.createDataFrame(
-        [(nodes.count(), e.count())], "num_nodes long, num_arcs long"
+    )
+    return (
+        nodes.agg(F.count_distinct("v").cast("long").alias("num_nodes"))
+        .crossJoin(e.agg(F.count("*").cast("long").alias("num_arcs")))
     )
 
 
