@@ -205,7 +205,7 @@ def main():
     )
 
     # 6. embedding near-dup contract query: the LSH path, never O(n^2)
-    plan6 = plan_of(entry.queries()["embedding_neardup_pairs"](spark, SF))
+    plan6 = plan_of(entry.all_queries()["embedding_neardup_pairs"](spark, SF))
     check(
         "embedding_neardup_pairs (banded-LSH contract path)",
         plan6,
@@ -220,7 +220,7 @@ def main():
     )
 
     # 7. ann_lsh_topk: one-pass banded signatures -> bounded corpus scans
-    plan7 = plan_of(entry.queries()["ann_lsh_topk"](spark, SF))
+    plan7 = plan_of(entry.all_queries()["ann_lsh_topk"](spark, SF))
     n_emb_scans = len(re.findall(r"embeddings\.parquet", plan7))
     out.append(
         (

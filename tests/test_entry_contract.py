@@ -42,12 +42,26 @@ def _norm(rows, cols):
     return sorted(out)
 
 
-ORACLES = entry_mod.oracle_sql()
-QUERIES = entry_mod.queries()
+# the driver sees queries()/oracle_sql() (capped at 50 slots); pytest
+# verifies the FULL registry including the extra_queries() overflow
+ORACLES = entry_mod.all_oracle_sql()
+QUERIES = entry_mod.all_queries()
 
 
 def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_driver_registry_fits_the_50_row_window():
+    """CORRECTNESS_r03 recorded exactly the first 50 queries() entries;
+    the driver-facing registry must never exceed that window again."""
+    q = entry_mod.queries()
+    assert len(q) <= 50
+    assert set(entry_mod.oracle_sql()) <= set(q)
+    # extras + driver set = full registry, no overlap
+    extras = entry_mod.extra_queries()
+    assert set(q).isdisjoint(extras)
+    assert set(q) | set(extras) == set(QUERIES)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -313,8 +313,8 @@ def test_whitespace_class_parity_with_duckdb(spark, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{tmp_path}/documents.parquet')"
     )
-    oracles = entry_mod.oracle_sql()
-    queries = entry_mod.queries()
+    oracles = entry_mod.all_oracle_sql()
+    queries = entry_mod.all_queries()
     for name in [
         "token_stats",
         "quality_scores",

@@ -45,6 +45,8 @@ Scale design (the 100 TB shape):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -388,6 +390,78 @@ def distance_distribution_sql(t: int = 3, m: int = 16) -> str:
     )
     body = ",\n".join(ctes)
     return f"{body}\n{selects}"
+
+
+def effective_diameter_fixed(
+    edges: DataFrame,
+    t: int = 3,
+    m: int = 16,
+    alpha: float = 0.9,
+    directed: bool = False,
+) -> DataFrame:
+    """Contract-friendly effective diameter at a FIXED horizon t:
+    smallest interpolated x with NF(x) >= alpha * NF(t), derived from
+    the same integer nf_e4 curve distance_distribution emits (ref
+    WebGraph's HyperBall effective-diameter readout; the open-ended
+    fixpoint variant is effective_diameter()).
+
+    Returns one row (t_horizon, eff_diam_e4, nf_final_e4) — all BIGINT:
+    eff_diam_e4 = floor(eff*1e4 + 0.5) so the cross-engine digest is
+    exact integer arithmetic. The distributed work is the t-round
+    sketch merge in distance_distribution; the interpolation is a
+    scalar postprocess over t+1 collected integers (driver-sized by
+    construction). The oracle (effective_diameter_fixed_sql) replays
+    the identical interpolation over the identical unrolled-CTE curve.
+    """
+    dd = {int(r["round"]): int(r["nf_e4"]) for r in
+          distance_distribution(edges, t=t, m=m, directed=directed).collect()}
+    nf = [dd[k] for k in range(t + 1)]
+    tgt = alpha * float(nf[t])
+    k = next(i for i in range(t + 1) if nf[i] >= tgt)
+    if k == 0:
+        eff = 0.0
+    else:
+        # first crossing: nf[k-1] < tgt <= nf[k] so the denominator > 0
+        eff = (k - 1) + (tgt - nf[k - 1]) / (nf[k] - nf[k - 1])
+    eff_e4 = int(math.floor(eff * 10000 + 0.5))
+    return edges.sparkSession.createDataFrame(
+        [(t, eff_e4, nf[t])],
+        schema="t_horizon bigint, eff_diam_e4 bigint, nf_final_e4 bigint",
+    )
+
+
+def effective_diameter_fixed_sql(
+    t: int = 3, m: int = 16, alpha: float = 0.9
+) -> str:
+    """Oracle body (no leading WITH) for effective_diameter_fixed:
+    the distance-distribution CTE chain wrapped as dd, then the same
+    first-crossing linear interpolation in pure SQL."""
+    ctes = _sql_init(m)
+    ctes.append(_sql_est(0, m))
+    for k in range(1, t + 1):
+        ctes.append(_sql_round(k))
+        ctes.append(_sql_est(k, m))
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round,"
+        f" CAST(sum(CAST(round(est * 10000, 0) AS BIGINT)) AS BIGINT) AS nf_e4"
+        f" FROM fin{k}"
+        for k in range(t + 1)
+    )
+    body = ",\n".join(ctes)
+    return f"""{body},
+dd AS ({selects}),
+tgt AS (SELECT {alpha!r} * CAST((SELECT nf_e4 FROM dd WHERE round = {t}) AS DOUBLE) AS tv),
+lagged AS (SELECT round, nf_e4, lag(nf_e4) OVER (ORDER BY round) AS prev_nf FROM dd),
+crossing AS (
+  SELECT l.round, l.nf_e4, l.prev_nf FROM lagged l, tgt
+  WHERE l.nf_e4 >= tgt.tv ORDER BY l.round LIMIT 1
+)
+SELECT CAST({t} AS BIGINT) AS t_horizon,
+       CAST(floor((CASE WHEN c.round = 0 THEN 0.0
+            ELSE (c.round - 1) + (tgt.tv - c.prev_nf) / (c.nf_e4 - c.prev_nf)
+            END) * 10000 + 0.5) AS BIGINT) AS eff_diam_e4,
+       (SELECT nf_e4 FROM dd WHERE round = {t}) AS nf_final_e4
+FROM crossing c, tgt"""
 
 
 def effective_diameter(

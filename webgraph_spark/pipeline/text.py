@@ -157,19 +157,55 @@ FROM documents
 def corpus_stats(docs: DataFrame) -> DataFrame:
     """(source, n_docs, total_tokens, avg_quality_r4) — per-source
     corpus composition report: the rollup a dataset card / mixture
-    designer reads. One partial+final hash aggregation over the fused
-    token-count + quality projections (no extra corpus scans)."""
-    toks = token_counts(docs).select("doc_id", "n_tokens")
-    qual = quality_scores(docs).select("doc_id", "quality")
+    designer reads.
+
+    Plan shape: ONE documents scan projecting (source, n_tokens,
+    q_micro), then ONE partial+final hash aggregation — no joins.
+    The quality column is made order-independent by summing the
+    micro-scaled INTEGER quality (floor(q*1e6 + 0.5), deterministic
+    per row in both engines) instead of avg() over doubles: a rounded
+    float average flips its last digit when the partial-agg summation
+    order changes with partitioning (the r3 hash-fail), an int64 sum
+    never does. The 4dp average is derived from the exact integer sum
+    by one deterministic division, identically in CORPUS_STATS_SQL."""
+    text = F.col("text")
+    t = F.trim(text)
+    n_tokens = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, WS_RE)))
+        .cast("long")
+    )
+    # same quality formula as quality_scores(), unrounded
+    n = F.greatest(F.length(text), F.lit(1)).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    stops = sum(_occurrences(padded, f" {w} ") for w in ["the", "and", "of", "a"])
+    toks = F.when(F.length(t) == 0, F.lit(1)).otherwise(
+        F.size(F.split(t, WS_RE))
+    ).cast("double")
+    quality = F.least(
+        F.lit(1.0),
+        (alpha / n) * 0.5 + F.least(stops.cast("double") / toks * 2.0, F.lit(0.5)),
+    )
+    q_micro = F.floor(quality * F.lit(1e6) + F.lit(0.5)).cast("long")
     return (
-        docs.select("doc_id", "source")
-        .join(toks, "doc_id")
-        .join(qual, "doc_id")
+        docs.select(F.col("source"), n_tokens.alias("n_tokens"), q_micro.alias("q_micro"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("quality"), 4).alias("avg_quality_r4"),
+            F.sum("q_micro").alias("sum_q_micro"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("sum_q_micro").cast("double")
+                / F.col("n_docs").cast("double")
+                / F.lit(1e6),
+                4,
+            ).alias("avg_quality_r4"),
         )
     )
 
@@ -200,17 +236,16 @@ def vocab_top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
 
 
 CORPUS_STATS_SQL = """
-WITH toks AS (
-  SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END
-              AS BIGINT) AS n_tokens
-  FROM documents
-), qual AS (
-  -- round(.., 6) mirrors the engine's quality_scores OUTPUT rounding:
-  -- corpus_stats averages the rounded per-doc quality
-  SELECT doc_id,
-    round(least(1.0,
+WITH per_doc AS (
+  -- q_micro: the engine's unrounded quality formula, micro-scaled to
+  -- an exact BIGINT (floor(q*1e6 + 0.5)) so the sum is summation-order
+  -- independent; the 4dp average is derived from the integer sum by
+  -- one deterministic division (mirrors corpus_stats exactly)
+  SELECT source,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END
+         AS BIGINT) AS n_tokens,
+    CAST(floor(least(1.0,
       (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
          / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.5
       + least(
@@ -218,19 +253,20 @@ WITH toks AS (
            + (length(p) - length(replace(p, ' and ', ''))) / 5.0
            + (length(p) - length(replace(p, ' of ', ''))) / 4.0
            + (length(p) - length(replace(p, ' a ', ''))) / 3.0 ) / toks2) * 2.0,
-          0.5)), 6) AS quality
+          0.5)) * 1e6 + 0.5) AS BIGINT) AS q_micro
   FROM (
-    SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+    SELECT source, text, ' ' || lower(text) || ' ' AS p,
            CAST(CASE WHEN length(trim(text)) = 0 THEN 1
                 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END
                 AS DOUBLE) AS toks2
     FROM documents
   )
 )
-SELECT d.source, count(*) AS n_docs, sum(t.n_tokens) AS total_tokens,
-       round(avg(q.quality), 4) AS avg_quality_r4
-FROM documents d JOIN toks t USING (doc_id) JOIN qual q USING (doc_id)
-GROUP BY d.source
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(CAST(sum(q_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 4)
+         AS avg_quality_r4
+FROM per_doc
+GROUP BY source
 """
 
 VOCAB_TOP_SQL = """
