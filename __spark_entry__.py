@@ -710,7 +710,11 @@ FROM sc
 """
 
 
-def _jaccard_sql(threshold: float = 0.5) -> str:
+def _jaccard_sql(threshold: float = 0.5, max_shingle_df: int = 256) -> str:
+    # shc mirrors ngram_jaccard_pairs' document-frequency cap: both
+    # sizes and the co-occurrence join run over the df<=tau shingle
+    # space, so the engines agree even when the corpus has boilerplate
+    # shingles above the cap
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
@@ -720,11 +724,15 @@ WITH toks AS (
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
   FROM idx WHERE length(array_to_string(t[i:i+4], ' ')) > 0
+), keep AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_shingle_df}
+), shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
 ), sizes AS (
-  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

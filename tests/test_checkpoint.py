@@ -164,3 +164,24 @@ def test_resume_from_file_uri_checkpoint_dir(spark, small_graph, tmp_path):
     got = {r.vertex_id: r.rank for r in resumed.collect()}
     for v, rank in want.items():
         assert abs(got[v] - rank) < 1e-12
+
+
+def test_truncate_after_clears_partial_snapshots(tmp_path):
+    """A crash mid-write leaves an iter= dir with no _SUCCESS; the
+    truncation sweep must remove it too, not just completed snapshots
+    (ADVICE r3 — the _SUCCESS filter is for latest()/resume only)."""
+    import os
+
+    base = tmp_path / "ck"
+    ck = CheckpointManager(str(base), run_id="t")
+    algo_dir = base / "pagerank"
+    for k, complete in [(1, True), (2, True), (3, False), (4, True)]:
+        d = algo_dir / f"iter={k:05d}"
+        os.makedirs(d)
+        (d / "part-00000.parquet").write_bytes(b"x")
+        if complete:
+            (d / "_SUCCESS").write_bytes(b"")
+    ck.truncate_after("pagerank", 2)
+    left = sorted(os.listdir(algo_dir))
+    assert left == ["iter=00001", "iter=00002"]
+    assert ck.latest("pagerank")[0] == 2

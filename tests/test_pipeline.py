@@ -67,6 +67,46 @@ def test_ngram_jaccard_finds_planted_pairs(spark):
     assert (1, 41) in pairs and pairs[(1, 41)] > 0.5
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must NOT go quadratic:
+    with the df cap it is dropped before the co-occurrence join, so a
+    2000-doc corpus sharing one 5-gram yields zero >=0.5 pairs (their
+    unique remainders don't overlap) instead of ~2M join rows; the
+    DuckDB oracle with the same cap agrees exactly."""
+    import duckdb
+
+    n_docs = 2000
+    boiler = "shared legal header boilerplate text"
+    rows = [
+        (i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e")
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(docs, n=5, threshold=0.5, max_shingle_df=64)
+    got = sorted((r.doc_a, r.doc_b, r.jaccard) for r in capped.collect())
+
+    con = duckdb.connect()
+    con.register("documents_pd", docs.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_pd")
+    import __spark_entry__ as entry_mod
+
+    want = sorted(
+        con.execute(entry_mod._jaccard_sql(0.5, max_shingle_df=64)).fetchall()
+    )
+    assert got == want == []
+
+    # planted near-dup pair still found through the capped space
+    rows.append((n_docs, rows[5][1]))
+    docs2 = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs2, n=5, threshold=0.5, max_shingle_df=64
+        ).collect()
+    }
+    assert pairs == {(5, n_docs): 1.0}
+
+
 def test_minhash_lsh_recall_and_precision(spark):
     docs = _mk_docs(spark, 40)
     cands = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs).collect()}

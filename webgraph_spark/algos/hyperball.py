@@ -83,7 +83,15 @@ def _init_registers(vertices: DataFrame, m: int) -> DataFrame:
 def _estimate_cols(m: int):
     """HLL estimate columns over a (v, reg, rho) group: n_regs, sum_rho
     (exact ints — the float-free sketch digest) and the bias-corrected
-    estimate with small-range (linear-counting) correction."""
+    estimate with small-range (linear-counting) correction.
+
+    Cross-engine caveat (ADVICE r3): the linear-counting branch takes
+    m*ln(m/V) in both engines, and ln is only ulp-accurate (Java
+    Math.log vs DuckDB libm) — an estimate whose true value straddles a
+    4dp rounding boundary could in principle flip the rounded digit and
+    fail an oracle hash. The integer columns (sum_rho, n_regs) are the
+    exact digest; the float estimates have matched bit-for-bit on every
+    observed run but are best treated as tolerance-checked."""
     a = _alpha(m)
     n_regs = F.count("*")
     s = F.sum(F.pow(F.lit(2.0), -F.col("rho")))

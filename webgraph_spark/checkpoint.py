@@ -52,6 +52,18 @@ class _LocalFS:
             and os.path.exists(os.path.join(d, name, "_SUCCESS"))
         )
 
+    def list_all_iters(self, algo: str) -> list[int]:
+        """Every iter= directory, including partial (no _SUCCESS) ones —
+        the truncate_after sweep needs to clear crash leftovers."""
+        d = os.path.join(self.base, algo)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(name.split("=")[1])
+            for name in os.listdir(d)
+            if name.startswith("iter=")
+        )
+
     def append_metrics(self, rec: dict) -> None:
         with open(os.path.join(self.base, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -98,6 +110,17 @@ class _HadoopFS:
             ):
                 out.append(int(name.split("=")[1]))
         return sorted(out)
+
+    def list_all_iters(self, algo: str) -> list[int]:
+        """Every iter= directory, _SUCCESS or not (truncation sweep)."""
+        d = self._jpath(f"{self.base}/{algo}")
+        if not self._fs.exists(d):
+            return []
+        return sorted(
+            int(st.getPath().getName().split("=")[1])
+            for st in self._fs.listStatus(d)
+            if st.getPath().getName().startswith("iter=")
+        )
 
     def append_metrics(self, rec: dict) -> None:
         # one immutable file per record: append() is unsupported on
@@ -196,7 +219,13 @@ class CheckpointManager:
         return self._fs.read_metrics()
 
     def truncate_after(self, algo: str, iteration: int) -> None:
-        """Drop snapshots with iter > iteration (used by resume tests)."""
-        for k in self._fs.list_success_iters(algo):
+        """Drop snapshots with iter > iteration (used by resume tests).
+
+        Sweeps ALL iter= directories, not just _SUCCESS-complete ones:
+        a crash mid-write leaves a partial snapshot with no _SUCCESS,
+        and truncation must clear it too or a later resume could sit
+        next to stale partial data (ADVICE r3). The _SUCCESS filter
+        remains authoritative for latest()/resume only."""
+        for k in self._fs.list_all_iters(algo):
             if k > iteration:
                 self._fs.remove_iter(algo, k)

@@ -65,10 +65,16 @@ def compute_symbol_num_bits(histo: list[int]) -> list[int]:
     for cost, syms in bags[-1][: 2 * len(present) - 2]:
         for s in syms:
             nbits[s] += 1
-    # Kraft check: sum of 2^-len == 1
-    assert sum(1 << (K_MAX_HUFFMAN_BITS - nbits[s]) for s in present) == (
-        1 << K_MAX_HUFFMAN_BITS
-    )
+    # Kraft check: sum of 2^-len == 1. Raised, not asserted — under
+    # python -O an assert is stripped and a bad histogram path would
+    # silently emit undecodable Huffman headers far from the cause
+    # (ADVICE r3).
+    kraft = sum(1 << (K_MAX_HUFFMAN_BITS - nbits[s]) for s in present)
+    if kraft != (1 << K_MAX_HUFFMAN_BITS):
+        raise ValueError(
+            f"package-merge produced a non-complete code: Kraft sum "
+            f"{kraft} != {1 << K_MAX_HUFFMAN_BITS} over {len(present)} symbols"
+        )
     return nbits
 
 
