@@ -312,9 +312,11 @@ class TestFileFamily:
         with pytest.raises(ValueError):
             read_properties(base)
 
-    def test_huffman_flag_raises_not_implemented(self, tmp_path):
-        # the Huffman family is scoped out (SURVEY §2.1 O24-O29) — a
-        # file declaring it must fail loudly, not decode garbage
+    def test_huffman_flags_parse_but_redirect_on_load(self, tmp_path):
+        # HUFFMAN compressionflags now PARSE (the Zuckerli /
+        # hybrid-Huffman file families carry them, r4) but the
+        # universal-code loader must still refuse loudly and point at
+        # the entropy-coded loaders, not decode garbage
         base = str(tmp_path / "hf")
         write_properties(BVGraphParams(nodes=1, arcs=0), base)
         text = open(base + ".properties").read().replace(
@@ -322,8 +324,10 @@ class TestFileFamily:
         )
         with open(base + ".properties", "w") as f:
             f.write(text)
-        with pytest.raises(NotImplementedError):
-            read_properties(base)
+        p = read_properties(base)
+        assert p.residual_coding == "huffman"
+        with pytest.raises(NotImplementedError, match="load_zuckerli"):
+            load_bvgraph(base)
 
 
 class TestCsrBvCodec:

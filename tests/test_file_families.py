@@ -1,0 +1,153 @@
+"""Zuckerli / hybrid-Huffman on-disk file families + Elias-Fano offsets.
+
+The reference ships binaries that read/write actual Zuckerli- and
+hybrid-Huffman-format file trios (src/bin/compress_zuckerli.rs,
+decompress_zuckerli.rs, compress_huff.rs, decompress_huff.rs) and an
+--ef switch persisting Elias-Fano offsets (bvgraph.rs:173-185,
+1648-1660). These tests cover the engine's equivalents end-to-end:
+pure-python store/load random access, the distributed Spark
+import/export, and the .offsets.ef-only load path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from webgraph_spark.bvgraph import (
+    BVGraphParams,
+    load_bvgraph,
+    read_properties,
+    store_bvgraph,
+)
+from webgraph_spark.bvgraph_huffman import (
+    edges_to_huffgraph,
+    huffgraph_to_edges,
+    load_huffgraph,
+    store_huffgraph,
+)
+from webgraph_spark.zuckerli import (
+    edges_to_zuckerli,
+    load_zuckerli,
+    store_zuckerli,
+    zuckerli_to_edges,
+)
+
+
+def _random_adj(n, avg_deg, seed, runs=True):
+    rng = np.random.default_rng(seed)
+    adj = []
+    for x in range(n):
+        d = int(rng.poisson(avg_deg))
+        if d == 0:
+            continue
+        succ = set(rng.integers(0, n, size=d).tolist())
+        if runs and rng.random() < 0.5:
+            start = int(rng.integers(0, max(1, n - 20)))
+            succ |= set(range(start, start + int(rng.integers(4, 15))))
+        if succ:
+            adj.append((x, sorted(succ)))
+    return adj
+
+
+@pytest.mark.parametrize(
+    "store,load",
+    [(store_zuckerli, load_zuckerli), (store_huffgraph, load_huffgraph)],
+    ids=["zuckerli", "huffgraph"],
+)
+class TestEntropyFileFamily:
+    def test_store_load_random_access(self, tmp_path, store, load):
+        base = str(tmp_path / "g")
+        adj = _random_adj(150, 5, seed=11)
+        out = store(adj, 150, base)
+        for ext in [".graph", ".offsets", ".properties"]:
+            assert os.path.exists(base + ext)
+        g = load(base)
+        assert g.num_nodes == 150 and g.num_arcs == out.arcs
+        expect = {x: s for x, s in adj}
+        order = np.random.default_rng(3).permutation(150)  # random access
+        for x in order:
+            assert g.successors(int(x)) == expect.get(int(x), [])
+
+    def test_properties_declare_huffman_sections(self, tmp_path, store, load):
+        base = str(tmp_path / "p")
+        store([(0, [1, 2]), (1, [0])], 3, base)
+        text = open(base + ".properties").read()
+        for flag in [
+            "OUTDEGREES_huffman", "BLOCKS_huffman",
+            "INTERVALS_huffman", "RESIDUALS_huffman",
+        ]:
+            assert flag in text, text
+        # the plain BVGraph loader must redirect, as the reference's
+        # binaries only accept their own format tuple
+        with pytest.raises(NotImplementedError, match="load_zuckerli"):
+            load_bvgraph(base)
+
+    def test_ef_offsets_only_load(self, tmp_path, store, load):
+        base = str(tmp_path / "ef")
+        adj = _random_adj(120, 4, seed=7)
+        store(adj, 120, base, ef_offsets=True)
+        assert os.path.exists(base + ".offsets.ef")
+        assert not os.path.exists(base + ".offsets")  # ONE or the other
+        g = load(base)
+        expect = {x: s for x, s in adj}
+        for x in range(120):
+            assert g.successors(x) == expect.get(x, [])
+
+
+@pytest.mark.parametrize(
+    "to_files,to_edges",
+    [
+        (edges_to_zuckerli, zuckerli_to_edges),
+        (edges_to_huffgraph, huffgraph_to_edges),
+    ],
+    ids=["zuckerli", "huffgraph"],
+)
+def test_spark_roundtrip_distributed(spark, small_graph, tmp_path,
+                                     to_files, to_edges):
+    edges, n, src, dst = small_graph
+    base = str(tmp_path / "g")
+    out = to_files(edges, base)
+    back = to_edges(spark, base, num_slices=4)
+    got = {(r.src, r.dst) for r in back.collect()}
+    want = {(int(a), int(b)) for a, b in zip(src, dst)}
+    assert got == want
+    assert out.arcs == len(want)
+
+
+def test_bvgraph_ef_offsets_roundtrip(tmp_path):
+    base = str(tmp_path / "bef")
+    adj = _random_adj(200, 6, seed=9)
+    store_bvgraph(adj, 200, base, ef_offsets=True)
+    assert os.path.exists(base + ".offsets.ef")
+    assert not os.path.exists(base + ".offsets")
+    g = load_bvgraph(base)
+    expect = {x: s for x, s in adj}
+    for x in range(200):
+        assert g.successors(x) == expect.get(x, [])
+
+
+def test_cross_family_load_rejects_plain_bvgraph(tmp_path):
+    base = str(tmp_path / "plain")
+    store_bvgraph([(0, [1]), (1, [0, 2])], 3, base)
+    p = read_properties(base)
+    assert p.residual_coding == "zeta"
+    with pytest.raises(ValueError, match="load_bvgraph"):
+        load_zuckerli(base)
+    with pytest.raises(ValueError, match="load_bvgraph"):
+        load_huffgraph(base)
+
+
+def test_zuckerli_vs_huffgraph_same_flags_different_streams(tmp_path):
+    """The two families share compressionflags (as in the reference);
+    their streams are NOT interchangeable — loading one with the other
+    decoder must not silently return wrong lists for this graph."""
+    adj = _random_adj(80, 5, seed=23)
+    zb, hb = str(tmp_path / "z"), str(tmp_path / "h")
+    store_zuckerli(adj, 80, zb)
+    store_huffgraph(adj, 80, hb)
+    expect = {x: s for x, s in adj}
+    assert all(load_zuckerli(zb).successors(x) == expect.get(x, [])
+               for x in range(80))
+    assert all(load_huffgraph(hb).successors(x) == expect.get(x, [])
+               for x in range(80))

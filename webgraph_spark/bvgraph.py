@@ -308,7 +308,12 @@ def nat2int(x: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-_CODES = ("unary", "gamma", "delta", "zeta")
+# 'huffman' is parsed from compressionflags (the reference's Zuckerli /
+# hybrid-Huffman file families emit e.g. OUTDEGREES_HUFFMAN — see
+# src/bin/compress_zuckerli.rs:38-40) but only the entropy-coded readers
+# in zuckerli.py / bvgraph_huffman.py can decode such sections; the
+# universal-code paths fail loudly on it.
+_CODES = ("unary", "gamma", "delta", "zeta", "huffman")
 
 # (properties flag name, params field, default code) — the reference's
 # per-section code assignment (ref src/properties.rs:100-139: a flag is
@@ -359,6 +364,14 @@ def _write_code(w: BitWriter, x: int, coding: str, k: int) -> None:
         w.write_zeta(x, k)
     elif coding == "delta":
         w.write_delta(x)
+    elif coding == "huffman":
+        # huffman sections are context-modeled whole-stream formats,
+        # owned by zuckerli.py / bvgraph_huffman.py — they cannot be
+        # emitted one value at a time through the universal-code writer
+        raise NotImplementedError(
+            "huffman-coded sections are written by store_zuckerli / "
+            "store_huffgraph, not the BVGraph universal-code writer"
+        )
     else:
         w.write_unary(x)
 
@@ -370,6 +383,11 @@ def _read_code(r: BitReader, coding: str, k: int) -> int:
         return r.read_zeta(k)
     if coding == "delta":
         return r.read_delta()
+    if coding == "huffman":
+        raise NotImplementedError(
+            "huffman-coded sections are decoded by load_zuckerli / "
+            "load_huffgraph, not the BVGraph universal-code reader"
+        )
     return r.read_unary()
 
 
@@ -855,37 +873,82 @@ class BVGraphReader:
 # ---------------------------------------------------------------------------
 
 
-def store_bvgraph(adjacency, n_nodes: int, basename: str,
-                  params: BVGraphParams | None = None) -> BVGraphParams:
-    """Write basename.{graph,offsets,properties} (ref bvgraph.rs:148-206).
-    Offsets are bit-position gaps, γ-coded, n+1 entries."""
-    graph_bytes, offsets, out = encode_graph(adjacency, n_nodes, params)
-    with open(basename + ".graph", "wb") as f:
-        f.write(graph_bytes)
+def write_offsets(offsets, basename: str, params: BVGraphParams,
+                  ef: bool = False) -> None:
+    """Persist the n+1 bit positions: γ-gap `.offsets` by default, or an
+    Elias–Fano `.offsets.ef` sidecar when ef=True (the reference's
+    --ef switch, bvgraph.rs:173-185 — it writes one OR the other)."""
+    if ef:
+        from webgraph_spark.eliasfano import EliasFano, serialize_ef
+
+        with open(basename + ".offsets.ef", "wb") as f:
+            f.write(serialize_ef(EliasFano(offsets)))
+        return
     ow = BitWriter()
     prev = 0
     for o in offsets:
-        _write_code(ow, o - prev, out.offset_coding, out.zeta_k)
+        _write_code(ow, o - prev, params.offset_coding, params.zeta_k)
         prev = o
     with open(basename + ".offsets", "wb") as f:
         f.write(ow.to_bytes())
+
+
+def read_offsets(basename: str, params: BVGraphParams) -> np.ndarray:
+    """n+1 bit positions. Prefers `.offsets.ef` when present, matching
+    the reference's load order (bvgraph.rs:1648-1660) — so a graph
+    shipped with ONLY EF offsets loads fine."""
+    ef_path = basename + ".offsets.ef"
+    if os.path.exists(ef_path):
+        from webgraph_spark.eliasfano import deserialize_ef
+
+        with open(ef_path, "rb") as f:
+            return deserialize_ef(f.read()).to_array().astype(np.int64)
+    with open(basename + ".offsets", "rb") as f:
+        obytes = f.read()
+    orr = BitReader(obytes)
+    offsets = np.empty(params.nodes + 1, dtype=np.int64)
+    cur = 0
+    for i in range(params.nodes + 1):
+        cur += _read_code(orr, params.offset_coding, params.zeta_k)
+        offsets[i] = cur
+    return offsets
+
+
+def store_bvgraph(adjacency, n_nodes: int, basename: str,
+                  params: BVGraphParams | None = None,
+                  ef_offsets: bool = False) -> BVGraphParams:
+    """Write basename.{graph,properties} plus `.offsets` (γ-gap) or
+    `.offsets.ef` (Elias–Fano, ef_offsets=True) — ref bvgraph.rs:148-206."""
+    graph_bytes, offsets, out = encode_graph(adjacency, n_nodes, params)
+    with open(basename + ".graph", "wb") as f:
+        f.write(graph_bytes)
+    write_offsets(offsets, basename, out, ef=ef_offsets)
     write_properties(out, basename)
     return out
 
 
+def _reject_huffman_sections(params: BVGraphParams, basename: str) -> None:
+    huff = [
+        name for name, f_, _d in _CODING_FIELDS
+        if getattr(params, f_) == "huffman"
+    ]
+    if huff:
+        raise NotImplementedError(
+            f"{basename}.properties declares huffman-coded sections "
+            f"({', '.join(huff)}): this is a Zuckerli / hybrid-Huffman "
+            "file family — load it with zuckerli.load_zuckerli or "
+            "bvgraph_huffman.load_huffgraph (the two formats share the "
+            "same compressionflags, as in the reference's binaries)"
+        )
+
+
 def load_bvgraph(basename: str) -> BVGraphReader:
-    """Load basename.{graph,offsets,properties} for random access."""
+    """Load basename.{graph,offsets[.ef],properties} for random access."""
     params = read_properties(basename)
+    _reject_huffman_sections(params, basename)
     with open(basename + ".graph", "rb") as f:
         graph_bytes = f.read()
-    with open(basename + ".offsets", "rb") as f:
-        obytes = f.read()
-    orr = BitReader(obytes)
-    offsets = []
-    cur = 0
-    for _ in range(params.nodes + 1):
-        cur += _read_code(orr, params.offset_coding, params.zeta_k)
-        offsets.append(cur)
+    offsets = read_offsets(basename, params)
     return BVGraphReader(graph_bytes, offsets, params)
 
 
@@ -895,7 +958,8 @@ def load_bvgraph(basename: str) -> BVGraphReader:
 
 
 def edges_to_bvgraph(edges, basename: str,
-                     params: BVGraphParams | None = None) -> BVGraphParams:
+                     params: BVGraphParams | None = None,
+                     ef_offsets: bool = False) -> BVGraphParams:
     """Export an edge DataFrame to BVGraph files.
 
     The BVGraph bitstream is inherently sequential in node order (the
@@ -908,11 +972,24 @@ def edges_to_bvgraph(edges, basename: str,
     """
     from pyspark.sql import functions as F
 
-    # collect_set, not collect_list: duplicate (src, dst) input rows are
-    # the same arc in a simple graph; a repeated successor would
-    # otherwise reach the gap coder and fail deep inside write_zeta
-    # (ADVICE r02 — the reference raises 'Repeated successor' instead;
-    # encode_graph keeps that explicit guard for direct API users).
+    it, n_nodes = driver_adjacency(edges)
+    return store_bvgraph(it, n_nodes, basename, params, ef_offsets=ef_offsets)
+
+
+def driver_adjacency(edges):
+    """((src, sorted_successors) iterator, n_nodes) streamed through the
+    driver in node order — the single-writer encode feed shared by the
+    BVGraph / Zuckerli / hybrid-Huffman file exports. Aggregation and
+    sorting stay distributed; only the final ordered stream is local.
+
+    collect_set, not collect_list: duplicate (src, dst) input rows are
+    the same arc in a simple graph; a repeated successor would
+    otherwise reach the gap coder and fail deep inside write_zeta
+    (ADVICE r02 — the reference raises 'Repeated successor' instead;
+    encode_graph keeps that explicit guard for direct API users).
+    """
+    from pyspark.sql import functions as F
+
     adj = (
         edges.groupBy("src")
         .agg(F.sort_array(F.collect_set("dst")).alias("succ"))
@@ -924,8 +1001,7 @@ def edges_to_bvgraph(edges, basename: str,
         ).first()["m"]
     )
     n_nodes = int(n_nodes) + 1 if n_nodes is not None else 0
-    it = ((r["src"], r["succ"]) for r in adj.toLocalIterator())
-    return store_bvgraph(it, n_nodes, basename, params)
+    return ((r["src"], r["succ"]) for r in adj.toLocalIterator()), n_nodes
 
 
 def bvgraph_to_edges(spark, basename: str, num_slices: int | None = None):
@@ -936,20 +1012,24 @@ def bvgraph_to_edges(spark, basename: str, num_slices: int | None = None):
     each task random-access-decodes a contiguous node range
     (reference chains resolve via offsets within the task).
     """
-    import pandas as pd
-    from pyspark.sql import functions as F  # noqa: F401
-
     params = read_properties(basename)
+    _reject_huffman_sections(params, basename)
     with open(basename + ".graph", "rb") as f:
         graph_bytes = f.read()
-    with open(basename + ".offsets", "rb") as f:
-        obytes = f.read()
-    orr = BitReader(obytes)
-    offsets = np.empty(params.nodes + 1, dtype=np.int64)
-    cur = 0
-    for i in range(params.nodes + 1):
-        cur += _read_code(orr, params.offset_coding, params.zeta_k)
-        offsets[i] = cur
+    offsets = read_offsets(basename, params)
+    return distributed_decode_edges(
+        spark, graph_bytes, offsets, params, BVGraphReader, num_slices
+    )
+
+
+def distributed_decode_edges(spark, graph_bytes, offsets, params,
+                             reader_cls, num_slices: int | None = None):
+    """Shared distributed decode for every file family: the (small)
+    offsets live on the driver, the compressed bytes ship to executors
+    once via broadcast, and each task windowed-scans a contiguous node
+    range through reader_cls(bytes, offsets, params).iter_lists —
+    reference chains resolve inside the task, each list decoded once."""
+    import pandas as pd
 
     n = params.nodes
     slices = num_slices or int(
@@ -964,7 +1044,7 @@ def bvgraph_to_edges(spark, basename: str, num_slices: int | None = None):
     if not ranges:  # empty graph: repartition(0, ...) would raise
         return spark.createDataFrame([], "src long, dst long")
     bc_graph = spark.sparkContext.broadcast(graph_bytes)
-    bc_off = spark.sparkContext.broadcast(offsets)
+    bc_off = spark.sparkContext.broadcast(np.asarray(offsets, dtype=np.int64))
     p = params
 
     def decode_range(pdf_iter):
@@ -972,7 +1052,7 @@ def bvgraph_to_edges(spark, basename: str, num_slices: int | None = None):
         for pdf in pdf_iter:
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
                 if reader is None:
-                    reader = BVGraphReader(bc_graph.value, bc_off.value, p)
+                    reader = reader_cls(bc_graph.value, bc_off.value, p)
                 srcs, dsts = [], []
                 # windowed sequential scan: reference chains resolve by
                 # window lookup, each list decoded exactly once

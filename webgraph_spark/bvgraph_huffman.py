@@ -157,6 +157,11 @@ def encode_graph_huffman(
         if not succ:
             win_ref_count[idx] = 0
             choices[node] = 0
+            # pass 2 still emits the outdegree-0 symbol for this node
+            # (_node_stream yields it before returning) — collect it or
+            # the header omits token 0 from this context and write_next
+            # fails on replay (caught by the tiny-graph file-family test)
+            values[_outd_ctx(node)].append(0)
             continue
         best_cost, best_r, best_cand = None, 0, idx
         win_ref_count[idx] = -1
@@ -341,3 +346,78 @@ class HuffBVGraphReader:
                 return block_list
             return sorted(block_list + extra)
         return extra
+
+
+# ---------------------------------------------------------------------------
+# file family I/O (.graph / .offsets[.ef] / .properties)
+# ---------------------------------------------------------------------------
+#
+# Mirrors the reference's hybrid-Huffman binaries (src/bin/
+# compress_huff.rs store, decompress_huff.rs:35-38 load): the BVGraph
+# trio with HUFFMAN compressionflags. The reference's Zuckerli family
+# emits the SAME flags (its binaries both check the same tuple), so as
+# there the caller chooses the decoder; the shared flag check lives in
+# zuckerli._check_huffman_family.
+
+
+def store_huffgraph(adjacency, n_nodes: int, basename: str,
+                    params=None, ef_offsets: bool = False):
+    """Write basename.{graph,offsets[.ef],properties} in the hybrid
+    Huffman-BVGraph format (headers + stream; ref bvgraph_huffman_out.rs
+    store:160-189)."""
+    from dataclasses import replace
+
+    from webgraph_spark.bvgraph import write_offsets, write_properties
+    from webgraph_spark.zuckerli import _HUFF_SECTIONS
+
+    stream, offsets, out = encode_graph_huffman(adjacency, n_nodes, params)
+    out = replace(out, **_HUFF_SECTIONS)
+    with open(basename + ".graph", "wb") as f:
+        f.write(stream)
+    write_offsets(offsets, basename, out, ef=ef_offsets)
+    write_properties(out, basename)
+    return out
+
+
+def load_huffgraph(basename: str) -> "HuffBVGraphReader":
+    """Random-access reader over basename.{graph,offsets[.ef],properties}."""
+    from webgraph_spark.bvgraph import read_offsets, read_properties
+    from webgraph_spark.zuckerli import _check_huffman_family
+
+    params = read_properties(basename)
+    _check_huffman_family(params, basename)
+    with open(basename + ".graph", "rb") as f:
+        stream = f.read()
+    offsets = read_offsets(basename, params)
+    return HuffBVGraphReader(stream, offsets, params)
+
+
+def edges_to_huffgraph(edges, basename: str, params=None,
+                       ef_offsets: bool = False):
+    """Edge DataFrame -> hybrid-Huffman files (driver-streamed
+    single-writer encode; aggregation/sorting distributed)."""
+    from webgraph_spark.bvgraph import driver_adjacency
+
+    it, n_nodes = driver_adjacency(edges)
+    return store_huffgraph(it, n_nodes, basename, params,
+                           ef_offsets=ef_offsets)
+
+
+def huffgraph_to_edges(spark, basename: str, num_slices: int | None = None):
+    """Hybrid-Huffman files -> edges(src, dst), decoded DISTRIBUTED via
+    bvgraph.distributed_decode_edges."""
+    from webgraph_spark.bvgraph import (
+        distributed_decode_edges,
+        read_offsets,
+        read_properties,
+    )
+    from webgraph_spark.zuckerli import _check_huffman_family
+
+    params = read_properties(basename)
+    _check_huffman_family(params, basename)
+    with open(basename + ".graph", "rb") as f:
+        stream = f.read()
+    offsets = read_offsets(basename, params)
+    return distributed_decode_edges(
+        spark, stream, offsets, params, HuffBVGraphReader, num_slices
+    )

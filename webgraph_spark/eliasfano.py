@@ -129,3 +129,57 @@ class EliasFano:
 
     def to_array(self) -> np.ndarray:
         return self.get_many(np.arange(self.n, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# .offsets.ef file serialization
+# ---------------------------------------------------------------------------
+#
+# The reference persists EF offsets as `basename.offsets.ef` and, when
+# present, prefers them over `.offsets` at load (ref bvgraph.rs:173-185
+# write, :1653-1660 load). Its payload is sux/sucds' serialize_into —
+# the in-memory layout of a Rust crate, not a published format — so the
+# engine mirrors the ROLE (an EF-compressed offsets sidecar chosen by
+# filename) with its own versioned little-endian layout:
+#
+#   magic 'WGEF' | version u8 | n u64 | l u8 | len_low u64 | len_high
+#   u64 | low bytes | high bytes
+#
+# The select superblock index is rebuilt at load (it is derivable from
+# the high bitmap and would only bloat the file).
+
+_EF_MAGIC = b"WGEF"
+_EF_VERSION = 1
+
+
+def serialize_ef(ef: EliasFano) -> bytes:
+    import struct
+
+    head = _EF_MAGIC + struct.pack(
+        "<BQBQQ", _EF_VERSION, ef.n, ef.l, ef._low.size, ef._high.size
+    )
+    return head + ef._low.tobytes() + ef._high.tobytes()
+
+
+def deserialize_ef(data: bytes) -> EliasFano:
+    import struct
+
+    if data[:4] != _EF_MAGIC:
+        raise ValueError("not a WGEF Elias-Fano offsets payload")
+    ver, n, l, n_low, n_high = struct.unpack("<BQBQQ", data[4:30])
+    if ver != _EF_VERSION:
+        raise ValueError(f"unsupported WGEF version {ver}")
+    ef = EliasFano.__new__(EliasFano)
+    ef.n = n
+    ef.l = l
+    ef._low = np.frombuffer(data, dtype=np.uint8, count=n_low, offset=30).copy()
+    ef._high = np.frombuffer(
+        data, dtype=np.uint8, count=n_high, offset=30 + n_low
+    ).copy()
+    # rebuild the select superblock index (load-time only)
+    pad = (-ef._high.size) % _SB
+    if pad:
+        ef._high = np.concatenate([ef._high, np.zeros(pad, dtype=np.uint8)])
+    pops = _BYTE_POP[ef._high].astype(np.int64).reshape(-1, _SB)
+    ef._sb = np.cumsum(pops.sum(axis=1)).astype(np.int32)
+    return ef

@@ -133,7 +133,8 @@ class HuffmanEncoder:
     def write_next(self, value: int, w: BitWriter, ctx: int) -> None:
         token, tail_bits, tail = zuck_split(value, K_ZUCK, I_ZUCK, J_ZUCK)
         nb = self._nbits[ctx][token]
-        assert nb > 0, f"token {token} absent from context {ctx}"
+        if nb <= 0:  # ValueError, not assert: must survive python -O
+            raise ValueError(f"token {token} absent from context {ctx}")
         w.push_bits(self._bits[ctx][token], nb)
         w.push_bits(tail, tail_bits)
 

@@ -428,3 +428,99 @@ class ZuckerliReader:
                 next_block += 2
 
         return out
+
+
+# ---------------------------------------------------------------------------
+# file family I/O (.graph / .offsets[.ef] / .properties)
+# ---------------------------------------------------------------------------
+#
+# Mirrors the reference's Zuckerli binaries (src/bin/compress_zuckerli.rs
+# :1-61 store, decompress_zuckerli.rs:33-93 load): the same
+# .graph/.offsets/.properties trio as BVGraph, with the entropy-coded
+# sections declared as HUFFMAN compressionflags. Note the reference's
+# Zuckerli and hybrid-Huffman families emit IDENTICAL flags — both its
+# binaries check the same (HUFFMAN, GAMMA, HUFFMAN, GAMMA, UNARY,
+# HUFFMAN, HUFFMAN) tuple — so, exactly as there, the caller picks the
+# decoder; load_bvgraph redirects here loudly on those flags.
+
+_HUFF_SECTIONS = dict(
+    outdegree_coding="huffman",
+    block_coding="huffman",
+    interval_coding="huffman",
+    residual_coding="huffman",
+    reference_coding="unary",
+    block_count_coding="gamma",
+    offset_coding="gamma",
+)
+
+
+def _check_huffman_family(params: BVGraphParams, basename: str) -> None:
+    bad = [k for k, v in _HUFF_SECTIONS.items() if getattr(params, k) != v]
+    if bad:
+        raise ValueError(
+            f"{basename}.properties does not declare the Zuckerli / "
+            f"hybrid-Huffman section codings (mismatched: {bad}); "
+            "load plain BVGraph families with bvgraph.load_bvgraph"
+        )
+
+
+def store_zuckerli(adjacency, n_nodes: int, basename: str,
+                   params: BVGraphParams | None = None,
+                   ef_offsets: bool = False) -> BVGraphParams:
+    """Write basename.{graph,offsets[.ef],properties} in the Zuckerli
+    format (full headers + bitstream; ref zuckerli_out.rs:164-189)."""
+    from dataclasses import replace
+
+    from webgraph_spark.bvgraph import write_offsets, write_properties
+
+    stream, offsets, out = encode_graph_zuckerli(adjacency, n_nodes, params)
+    out = replace(out, **_HUFF_SECTIONS)
+    with open(basename + ".graph", "wb") as f:
+        f.write(stream)
+    write_offsets(offsets, basename, out, ef=ef_offsets)
+    write_properties(out, basename)
+    return out
+
+
+def load_zuckerli(basename: str) -> "ZuckerliReader":
+    """Random-access reader over basename.{graph,offsets[.ef],properties}."""
+    from webgraph_spark.bvgraph import read_offsets, read_properties
+
+    params = read_properties(basename)
+    _check_huffman_family(params, basename)
+    with open(basename + ".graph", "rb") as f:
+        stream = f.read()
+    offsets = read_offsets(basename, params)
+    return ZuckerliReader(stream, offsets, params)
+
+
+def edges_to_zuckerli(edges, basename: str,
+                      params: BVGraphParams | None = None,
+                      ef_offsets: bool = False) -> BVGraphParams:
+    """Export an edge DataFrame to Zuckerli files (single-writer encode
+    streamed through the driver, like the reference's single-threaded
+    compressor; aggregation/sorting stays distributed)."""
+    from webgraph_spark.bvgraph import driver_adjacency
+
+    it, n_nodes = driver_adjacency(edges)
+    return store_zuckerli(it, n_nodes, basename, params, ef_offsets=ef_offsets)
+
+
+def zuckerli_to_edges(spark, basename: str, num_slices: int | None = None):
+    """Zuckerli files -> edges(src, dst) DataFrame, decoded DISTRIBUTED:
+    broadcast bytes + driver-side offsets, one windowed node-range scan
+    per task (bvgraph.distributed_decode_edges)."""
+    from webgraph_spark.bvgraph import (
+        distributed_decode_edges,
+        read_offsets,
+        read_properties,
+    )
+
+    params = read_properties(basename)
+    _check_huffman_family(params, basename)
+    with open(basename + ".graph", "rb") as f:
+        stream = f.read()
+    offsets = read_offsets(basename, params)
+    return distributed_decode_edges(
+        spark, stream, offsets, params, ZuckerliReader, num_slices
+    )
