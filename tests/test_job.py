@@ -141,6 +141,45 @@ def test_job_hyperball_inprocess(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_job_stream_degrees_resumes_from_checkpoint(spark, tmp_path):
+    """VERDICT r3 'do this' #10: the streaming surface on the job CLI.
+    A second invocation with the same checkpoint dir must continue
+    mid-stream — already-processed files are NOT reprocessed (no new
+    batch rows for them), new files fold in incrementally."""
+    from webgraph_spark import job
+
+    stream_in = str(tmp_path / "in")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sck")
+    base = [
+        "--algorithm", "stream_degrees", "--stream-input", stream_in,
+        "--checkpoint-dir", ckpt, "--output", out, "--master", "local[8]",
+    ]
+
+    spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    ).coalesce(1).write.mode("append").parquet(stream_in)
+    s1 = job.run(base)
+    assert s1["total_degree"] == 3
+    assert {
+        (r.src, r.outdeg)
+        for r in spark.read.parquet(os.path.join(out, "stream_degrees")).collect()
+    } == {(1, 2), (2, 1)}
+
+    # second invocation: one NEW file; the old one must not double-count
+    spark.createDataFrame(
+        [(1, 9), (3, 1)], "src long, dst long"
+    ).coalesce(1).write.mode("append").parquet(stream_in)
+    s2 = job.run(base)
+    assert s2["total_degree"] == 5  # 3 old + 2 new, not 8
+    assert s2["n_batches"] > s1["n_batches"]
+    assert {
+        (r.src, r.outdeg)
+        for r in spark.read.parquet(os.path.join(out, "stream_degrees")).collect()
+    } == {(1, 3), (2, 1), (3, 1)}
+
+
+@pytest.mark.slow
 def test_spark_submit_pagerank_and_resume(tmp_path):
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")

@@ -36,7 +36,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="webgraph_spark cluster job")
     p.add_argument("--algorithm", required=True,
                    choices=["pagerank", "pagerank_csr", "components", "labelprop",
-                            "triangles", "build", "dedup", "order", "hyperball"])
+                            "triangles", "build", "dedup", "order", "hyperball",
+                            "stream_degrees"])
+    p.add_argument("--stream-input", default=None,
+                   help="edge-stream directory for --algorithm "
+                        "stream_degrees: every parquet file appearing "
+                        "here is folded into the degree table exactly "
+                        "once (file-source checkpoint). Default: derive "
+                        "edges from the source table and seed "
+                        "<output>/stream_input with them")
     p.add_argument("--order-by", default="degree", choices=["degree", "bfs"],
                    help="vertex ordering for --algorithm order: hubs-first "
                         "degree rank (default) or BFS layers per component")
@@ -124,6 +132,53 @@ def run(argv: list[str]) -> dict:
         with open(os.path.join(args.output, "summary.json"), "w") as f:
             json.dump(summary, f)
         clusters.unpersist()
+        return summary
+
+    if args.algorithm == "stream_degrees":
+        # Structured Streaming mode: fold an edge-file stream into an
+        # incremental out-degree table (availableNow drains what is
+        # pending, then exits — the cron-driven incremental-batch shape).
+        # A SECOND invocation with the same --checkpoint-dir continues
+        # from the file-source checkpoint: already-seen files are NOT
+        # reprocessed (tests/test_job.py proves this), new files land in
+        # new batch_id=N partitions whose per-batch overwrite keeps
+        # retries idempotent.
+        import glob
+
+        from webgraph_spark.streaming import (
+            read_degrees,
+            start_incremental_degrees,
+        )
+
+        stream_in = args.stream_input
+        if stream_in is None:
+            stream_in = os.path.join(args.output, "stream_input")
+            _, seed_edges = build_graph(sources)
+            seed_edges.select("src", "dst").write.mode("append").parquet(
+                stream_in
+            )
+        log_dir = os.path.join(args.output, "degree_log")
+        q = start_incremental_degrees(
+            spark, stream_in, log_dir,
+            os.path.join(args.checkpoint_dir, "stream_degrees"),
+        )
+        q.awaitTermination()
+        degrees = read_degrees(spark, log_dir).persist()
+        out_path = os.path.join(args.output, "stream_degrees")
+        degrees.write.mode("overwrite").parquet(out_path)
+        total_deg = degrees.agg(F.sum("outdeg").alias("s")).first()["s"]
+        summary = {
+            "algorithm": "stream_degrees",
+            "n_vertices": int(degrees.count()),
+            "total_degree": int(total_deg or 0),
+            "n_batches": len(glob.glob(os.path.join(log_dir, "batch_id=*"))),
+            "wall_sec": round(time.time() - t0, 3),
+            "resumed": bool(args.resume),
+        }
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f)
+        degrees.unpersist()
         return summary
 
     vertices, edges = build_graph(sources)
