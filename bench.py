@@ -196,7 +196,14 @@ def main():
         r8["edges_per_sec"] / (4.0 * r2["edges_per_sec"])
         for r2, r8 in zip(runs["n2"], runs["n8"])
     ]
-    eff_2to8 = max(pair_effs)
+    # headline = MEDIAN of adjacent pairs (ADVICE r3: max() is
+    # upward-biased — one-sided noise slowing only a pair's n2 run
+    # inflates that pair's ratio above the true efficiency); the max
+    # and the raw per-pair array stay as diagnostics
+    import statistics
+
+    eff_2to8 = statistics.median(pair_effs)
+    eff_bestpair = max(pair_effs)
     eff_levelbest = th8 / (4.0 * th2)
     eff_8tofull = thf / ((CPUS / 8.0) * th8)
 
@@ -218,6 +225,48 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+
+    # --- single-core BV decode microbench (VERDICT r3 #6) --------------
+    # encode the SF link graph as ONE block driver-side, then time the
+    # numpy lockstep decoder vs the scalar word reader on one core
+    from webgraph_spark.bvdecode import decode_block
+    from webgraph_spark.bvgraph import BVGraphReader, encode_graph
+    from webgraph_spark.graph import testdata_graph
+
+    e = (
+        testdata_graph(spark, SF_DIR)
+        .orderBy("src", "dst")
+        .toPandas()
+    )
+    src_np = e["src"].to_numpy()
+    dst_np = e["dst"].to_numpy()
+    cut = np.flatnonzero(np.diff(src_np)) + 1
+    starts_ = np.concatenate([[0], cut])
+    ends_ = np.concatenate([cut, [len(src_np)]])
+    adj = [
+        (int(src_np[s]), dst_np[s:e_].tolist())
+        for s, e_ in zip(starts_, ends_)
+    ]
+    n_g = int(max(src_np.max(), dst_np.max())) + 1 if len(src_np) else 0
+    stream, offs, outp = encode_graph(adj, n_g)
+    m_g = len(src_np)
+    tv = None
+    for _ in range(3):
+        t0 = time.time()
+        decode_block(stream, offs, 0, n_g, outp)
+        dt = time.time() - t0
+        tv = dt if tv is None else min(tv, dt)
+    t0 = time.time()
+    reader = BVGraphReader(stream, offs, outp)
+    for _x, _s in reader.iter_lists(0, n_g):
+        pass
+    ts = time.time() - t0
+    decode_bench = {
+        "edges": int(m_g),
+        "vectorized_edges_per_sec_core": round(m_g / tv, 1),
+        "scalar_edges_per_sec_core": round(m_g / ts, 1),
+        "speedup": round(ts / tv, 2),
+    }
     spark.stop()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -234,15 +283,18 @@ def main():
             "throughput_8core_pinned": round(th8, 1),
             "throughput_full_box": round(thf, 1),
             "scaling_efficiency_2to8": round(eff_2to8, 3),
+            "scaling_efficiency_bestpair": round(eff_bestpair, 3),
             "scaling_efficiency_levelbest": round(eff_levelbest, 3),
             "pair_efficiencies": [round(x, 3) for x in pair_effs],
             "throughputs_2core": [round(r["edges_per_sec"], 1) for r in runs["n2"]],
             "throughputs_8core": [round(r["edges_per_sec"], 1) for r in runs["n8"]],
             "scaling_ratio_8tofull": round(eff_8tofull, 3),
             "protocol": "N=local[2] vs 4N=local[8], both taskset-pinned, "
-                        "identical input/partitions/code; efficiency = best "
-                        "ADJACENT pair (shared host conditions); see BENCH.md",
+                        "identical input/partitions/code; headline efficiency "
+                        "= MEDIAN adjacent pair (max kept as diagnostic); "
+                        "see BENCH.md",
         },
+        "decode_microbench": decode_bench,
     }
     print(json.dumps(out))
 

@@ -1,0 +1,110 @@
+"""Vectorized BV block decoder vs the scalar reference reader.
+
+decode_block must reproduce BVGraphReader.iter_lists bit-for-bit on
+every graph shape the encoder can emit: reference chains (depth up to
+max_ref_count), copy blocks with/without tails, intervals, zig-zag
+first residuals, empty lists, hub lists long enough to trigger the
+scalar lockstep tail, and non-zero node_base blocks.
+"""
+
+import numpy as np
+import pytest
+
+from webgraph_spark.bvdecode import decode_block, supports
+from webgraph_spark.bvgraph import BVGraphParams, BVGraphReader, encode_graph
+
+
+def _check(adj, n, base=0, params=None):
+    stream, offs, out = encode_graph(adj, n, params, node_base=base)
+    src, dst = decode_block(stream, offs, base, n, out)
+    reader = BVGraphReader(stream, offs, out, node_base=base)
+    pos = 0
+    for x, succ in reader.iter_lists(base, base + n):
+        got = dst[pos: pos + len(succ)].tolist()
+        assert got == succ, f"node {x}: {got[:8]} != {succ[:8]}"
+        assert (src[pos: pos + len(succ)] == x).all()
+        pos += len(succ)
+    assert pos == len(dst) == out.arcs
+
+
+def _random_adj(n, avg_deg, seed, base=0, runs=True):
+    rng = np.random.default_rng(seed)
+    adj = []
+    for x in range(base, base + n):
+        d = int(rng.poisson(avg_deg))
+        if d == 0 and rng.random() < 0.7:
+            continue
+        succ = set(rng.integers(base, base + n, size=max(d, 1)).tolist())
+        if runs and rng.random() < 0.5:
+            start = int(rng.integers(base, base + max(1, n - 25)))
+            succ |= set(range(start, start + int(rng.integers(4, 18))))
+        if succ:
+            adj.append((x, sorted(succ)))
+    return adj
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("base", [0, 12345])
+def test_matches_scalar_random(seed, base):
+    _check(_random_adj(300, 6, seed, base=base), 300, base=base)
+
+
+def test_web_like_with_hubs_and_shared_lists():
+    rng = np.random.default_rng(2)
+    n = 3000
+    shared = sorted(set(rng.integers(0, n, 60).tolist()))
+    adj = []
+    for x in range(n):
+        succ = set(
+            ((x + rng.integers(1, 200, size=int(rng.pareto(1.3) * 3 + 1))) % n)
+            .tolist()
+        )
+        if rng.random() < 0.4:
+            succ |= set(shared)  # encourages reference chains
+        if rng.random() < 0.5:
+            s = int(rng.integers(0, n - 20))
+            succ |= set(range(s, s + 12))  # intervals
+        succ.discard(x)
+        if succ:
+            adj.append((x, sorted(succ)))
+    _check(adj, n)
+
+
+def test_hub_triggers_scalar_lockstep_tail():
+    # one list far longer than the rest: the residual lockstep active
+    # set collapses to 1 and must hand off to the scalar tail
+    rng = np.random.default_rng(3)
+    hub = sorted(set(rng.integers(0, 200000, 30000).tolist()))
+    adj = [(0, hub)] + [
+        (x, sorted(set(rng.integers(0, 200000, 4).tolist())))
+        for x in range(1, 50)
+    ]
+    _check(adj, 50)
+
+
+def test_empty_and_singleton_lists():
+    _check([(1, [5]), (4, [0, 1, 2, 3, 4, 5, 6, 7])], 10)
+    _check([], 5)
+    _check([(0, [1])], 2)
+
+
+def test_identical_consecutive_lists_max_ref_chain():
+    # identical lists produce pure-copy references (no extras at all);
+    # chains bounded by max_ref_count force multi-level resolution
+    lst = sorted({3, 9, 17, 40, 41, 42, 43, 44, 80, 99})
+    adj = [(x, lst) for x in range(30)]
+    _check(adj, 30)
+
+
+def test_negative_first_residual_and_interval():
+    # successors all below the node id: zig-zag first codes go negative
+    adj = [(50, [1, 2, 3, 4, 5, 10, 20]), (51, [1, 2, 3, 4, 5, 10, 20])]
+    _check(adj, 60)
+
+
+def test_nondefault_codings_rejected():
+    p = BVGraphParams(residual_coding="gamma")
+    assert not supports(p)
+    stream, offs, out = encode_graph([(0, [1, 2])], 3, p)
+    with pytest.raises(ValueError):
+        decode_block(stream, offs, 0, 3, out)
