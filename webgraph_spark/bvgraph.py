@@ -529,9 +529,13 @@ def _encode_list(
     ref_list: list[int],
     curr_list: list[int],
     params: BVGraphParams,
+    section_bits: dict | None = None,
 ) -> int:
     """Encode one adjacency list (after the outdegree) as
-    reference/blocks/intervals/residuals. Returns bits written."""
+    reference/blocks/intervals/residuals. Returns bits written.
+    section_bits (optional dict) accumulates per-section bit counts —
+    the density accounting the reference's README reports (residuals
+    dominant etc.)."""
     start = w.written_bits
     if reference == 0:
         blocks, extras = [], list(curr_list)
@@ -541,10 +545,20 @@ def _encode_list(
     k = params.zeta_k
     if params.window_size > 0:
         _write_code(w, reference, params.reference_coding, k)
+    if section_bits is not None:
+        section_bits["references"] = (
+            section_bits.get("references", 0) + w.written_bits - start
+        )
+        mark = w.written_bits
     if reference != 0:
         _write_code(w, len(blocks), params.block_count_coding, k)
         for i, b in enumerate(blocks):
             _write_code(w, b if i == 0 else b - 1, params.block_coding, k)
+    if section_bits is not None:
+        section_bits["blocks"] = (
+            section_bits.get("blocks", 0) + w.written_bits - mark
+        )
+        mark = w.written_bits
 
     if extras:
         if params.min_interval_len != 0:
@@ -562,12 +576,21 @@ def _encode_list(
                 prev = left[i] + length[i]
         else:
             residuals = extras
+        if section_bits is not None:
+            section_bits["intervals"] = (
+                section_bits.get("intervals", 0) + w.written_bits - mark
+            )
+            mark = w.written_bits
         if residuals:
             prev = residuals[0]
             _write_code(w, int2nat(prev - node), params.residual_coding, k)
             for r in residuals[1:]:
                 _write_code(w, r - prev - 1, params.residual_coding, k)
                 prev = r
+        if section_bits is not None:
+            section_bits["residuals"] = (
+                section_bits.get("residuals", 0) + w.written_bits - mark
+            )
     return w.written_bits - start
 
 
@@ -648,7 +671,7 @@ def _encode_cost(node, reference, ref_list, curr_list, params) -> int:
 
 def encode_graph(
     adjacency, n_nodes: int, params: BVGraphParams | None = None,
-    node_base: int = 0,
+    node_base: int = 0, section_bits: dict | None = None,
 ):
     """Compress adjacency lists [node_base, node_base+n) into a BVGraph
     bitstream.
@@ -694,7 +717,12 @@ def encode_graph(
         arcs += len(succ)
         idx = node % cbs
         offsets.append(w.written_bits)
+        _mark = w.written_bits
         _write_code(w, len(succ), p.outdegree_coding, p.zeta_k)
+        if section_bits is not None:
+            section_bits["outdegrees"] = (
+                section_bits.get("outdegrees", 0) + w.written_bits - _mark
+            )
         win_list[idx] = succ
         if not succ:
             win_ref_count[idx] = 0
@@ -710,7 +738,8 @@ def encode_graph(
                 if best_cost is None or cost < best_cost:
                     best_cost, best_r, best_cand = cost, r, cand
         win_ref_count[idx] = win_ref_count[best_cand] + 1 if best_r else 0
-        _encode_list(w, node, best_r, win_list[best_cand], succ, p)
+        _encode_list(w, node, best_r, win_list[best_cand], succ, p,
+                     section_bits=section_bits)
     offsets.append(w.written_bits)
     out = replace(p, nodes=n_nodes, arcs=arcs)
     return w.to_bytes(), offsets, out
