@@ -32,7 +32,7 @@ superstep in the PageRank measurement).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
-     WGS_BENCH_SUPERSTEPS (default 5),
+     WGS_BENCH_SUPERSTEPS (default 6),
      WGS_BENCH_REPS (scaling reps per level; best-of when >1),
      WGS_QUERY_REPS (per-query reps; best-of).
 """
@@ -56,8 +56,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SUPERSTEPS = int(os.environ.get("WGS_BENCH_SUPERSTEPS", "5"))
-REPS = int(os.environ.get("WGS_BENCH_REPS", "4"))
+SUPERSTEPS = int(os.environ.get("WGS_BENCH_SUPERSTEPS", "6"))
+REPS = int(os.environ.get("WGS_BENCH_REPS", "5"))
 QUERY_REPS = int(os.environ.get("WGS_QUERY_REPS", "3"))
 
 BENCH_QUERIES = [
