@@ -17,7 +17,9 @@ block with numpy:
 - value reconstruction (gap cumsums, interval expansion) is segmented
   numpy arithmetic; reference copy-lists resolve in <= max_ref_count
   batched LEVELS (chain-depth order), each level one masked gather +
-  one per-node-grouped lexsort — no per-list Python in the hot path.
+  one fused-key (node_id<<32 | value) argsort grouping+ordering every
+  list of the level in a single sort pass — no per-list Python in the
+  hot path.
 
 Decoding semantics mirror bvgraph.BVGraphReader._read_list /
 _encode_list exactly (ref bvgraph.rs:732-978) and are verified
@@ -60,38 +62,40 @@ class _VecBits:
     """Bit-parallel code readers over one block's stream.
 
     Every reader returns (values int64, positions-after int64) and is
-    exact for codes fitting the per-element 57-bit window guarantee;
-    longer codes (astronomical gaps) fall back to the scalar reader
-    element-wise.
+    exact for codes fitting the per-element 57-bit window guarantee
+    (two-word fetch actually guarantees 64 valid bits); longer codes
+    (astronomical gaps) fall back to the scalar reader element-wise.
     """
 
     def __init__(self, stream: bytes) -> None:
-        pad = (-len(stream)) % 8 + 16  # slack: 8-byte windows never overrun
-        self.bytes = np.frombuffer(stream + b"\x00" * pad, dtype=np.uint8)
+        pad = (-len(stream)) % 8 + 16  # slack: word pairs never overrun
+        buf = np.frombuffer(stream + b"\x00" * pad, dtype=">u8")
+        # ONE byteswap pass at init; per-call reads are pure uint64 math
+        self.words = buf.astype(np.uint64)
         self.scalar = BitReader(stream)
 
     def _window(self, P: np.ndarray) -> np.ndarray:
-        """uint64 with the stream bits from P left-aligned at the MSB.
-        Bits [0, 64 - (P & 7)) are valid — always >= 57."""
-        idx = (P >> 3)[:, None] + np.arange(8, dtype=np.int64)
-        w = (
-            np.ascontiguousarray(self.bytes[idx])
-            .view(">u8")
-            .ravel()
-            .astype(np.uint64)
-        )
-        return w << (P & 7).astype(np.uint64)
+        """uint64 with the 64 stream bits from P left-aligned at the
+        MSB (two aligned word fetches, branch-free shift guard)."""
+        Pu = P.astype(np.uint64)
+        s = Pu & np.uint64(63)
+        i = (Pu >> np.uint64(6)).astype(np.int64)
+        w = self.words[i] << s
+        # (x >> 1) >> (63 - s) avoids the undefined >> 64 when s == 0
+        w |= (self.words[i + 1] >> _U1) >> (np.uint64(63) - s)
+        return w
 
     @staticmethod
     def _clz(w: np.ndarray) -> np.ndarray:
-        """Leading zeros of each uint64 (valid range 0..63; 64 -> 64)."""
+        """Leading zeros of each uint64 (int64 result; 64 for w == 0).
+        One LUT pass for the common h < 16; rare longer prefixes fixed
+        up element-wise."""
         h = _CLZ16[(w >> np.uint64(48)).astype(np.int64)].astype(np.int64)
-        m16 = (w >> np.uint64(32)).astype(np.int64) & 0xFFFF
-        h = np.where(h == 16, 16 + _CLZ16[m16].astype(np.int64), h)
-        m32 = (w >> np.uint64(16)).astype(np.int64) & 0xFFFF
-        h = np.where(h == 32, 32 + _CLZ16[m32].astype(np.int64), h)
-        m48 = w.astype(np.int64) & 0xFFFF  # low 16: values < 2^16
-        return np.where(h == 48, 48 + _CLZ16[m48].astype(np.int64), h)
+        if (h == 16).any():
+            for j in np.flatnonzero(h == 16):
+                v = int(w[j])
+                h[j] = 64 - v.bit_length() if v else 64
+        return h
 
     def _fallback(self, P, vals, newP, bad, read_scalar):
         for j in np.flatnonzero(bad):
@@ -112,72 +116,85 @@ class _VecBits:
 
     def gamma(self, P: np.ndarray):
         w = self._window(P)
-        h = self._clz(w)
-        ok = 2 * h + 1 <= 57
-        hs = np.where(ok, h, 0)
+        h = self._clz(w).astype(np.uint64)
+        ok = h <= np.uint64(28)  # 2h+1 <= 57
+        hs = np.where(ok, h, np.uint64(0))
         # γ = the 1-bit plus h mantissa bits, read together, minus 1
         vals = (
-            (w >> (np.uint64(63) - (2 * hs).astype(np.uint64)))
-            & ((_U1 << (hs + 1).astype(np.uint64)) - _U1)
+            (w >> (np.uint64(63) - (hs << _U1)))
+            & ((_U1 << (hs + _U1)) - _U1)
         ).astype(np.int64) - 1
-        newP = P + 2 * hs + 1
+        newP = P + (2 * hs + _U1).astype(np.int64)
         if not ok.all():
             return self._fallback(P, vals, newP, ~ok,
                                   lambda r: r.read_gamma())
         return vals, newP
 
     def zeta(self, P: np.ndarray, k: int):
+        ku = np.uint64(k)
         w = self._window(P)
-        h = self._clz(w)
-        ok = h * (k + 1) + k + 1 <= 57  # prefix + mantissa + stop bit
-        hs = np.where(ok, h, 0)
-        nbits = (hs * k + k - 1).astype(np.uint64)
-        body = hs * (k + 1) + k  # h + 1 + nbits
-        m = (w >> (np.uint64(64) - body.astype(np.uint64))) & (
-            (_U1 << nbits) - _U1
-        )
-        left = _U1 << (hs * k).astype(np.uint64)
+        h = self._clz(w).astype(np.uint64)
+        ok = h * np.uint64(k + 1) + np.uint64(k + 1) <= np.uint64(57)
+        hs = np.where(ok, h, np.uint64(0))
+        hk = hs * ku
+        nbits = hk + ku - _U1
+        body = hs + _U1 + nbits
+        m = (w >> (np.uint64(64) - body)) & ((_U1 << nbits) - _U1)
+        left = _U1 << hk
         lt = m < left
-        bit = (w >> (np.uint64(63) - body.astype(np.uint64))) & _U1
+        bit = (w >> (np.uint64(63) - body)) & _U1
         vals = np.where(lt, m + left - _U1, (m << _U1) + bit - _U1).astype(
             np.int64
         )
-        newP = P + body + (~lt).astype(np.int64)
+        newP = P + (body + (~lt)).astype(np.int64)
         if not ok.all():
             return self._fallback(P, vals, newP, ~ok,
                                   lambda r: r.read_zeta(k))
         return vals, newP
 
     def run(self, P: np.ndarray, counts: np.ndarray, read_one,
-            scalar_run=None, tail_threshold: int = 24):
+            scalar_run=None, tail_threshold: int = 128):
         """counts[i] consecutive codes per entry, decoded in lockstep.
 
         Returns (flat values ordered by (entry, j), positions-after).
-        When the active set shrinks below tail_threshold (a few hub
-        lists much longer than the rest), the remainder switches to the
-        scalar per-run reader — numpy per-step overhead would dominate.
+        Runs are processed longest-first so they finish in SUFFIX
+        order and the active set is always a prefix SLICE (one decode
+        + one scatter per step, zero mask bookkeeping). When the active
+        set shrinks below
+        tail_threshold (a few hub lists much longer than the rest) the
+        remainder switches to the scalar per-run reader — numpy
+        per-step overhead would dominate.
         """
         counts = counts.astype(np.int64)
         total = int(counts.sum())
         out = np.empty(total, dtype=np.int64)
         starts = _seg_starts(counts)
         P = P.copy()
-        done = np.zeros(counts.size, dtype=np.int64)
-        active = np.flatnonzero(counts > 0)
-        while active.size:
-            if scalar_run is not None and active.size < tail_threshold:
-                for a in active:
-                    i = int(a)
-                    vals, newp = scalar_run(int(P[i]),
-                                            int(counts[i] - done[i]))
-                    out[starts[i] + done[i]: starts[i] + counts[i]] = vals
-                    P[i] = newp
+        live = np.flatnonzero(counts > 0)
+        # longest-first: runs then finish in SUFFIX order, so the active
+        # set stays a prefix slice — a step is one decode + one scatter
+        # with zero per-step mask bookkeeping
+        order = live[np.argsort(-counts[live], kind="stable")]
+        pos = P[order]
+        cur = starts[order].copy()
+        rem = counts[order].copy()
+        n = pos.size
+        while n:
+            if scalar_run is not None and n < tail_threshold:
+                for j in range(n):
+                    vals, newp = scalar_run(int(pos[j]), int(rem[j]))
+                    out[cur[j]: cur[j] + rem[j]] = vals
+                    P[order[j]] = newp
+                n = 0
                 break
-            vals, newp = read_one(P[active])
-            out[starts[active] + done[active]] = vals
-            P[active] = newp
-            done[active] += 1
-            active = active[done[active] < counts[active]]
+            vals, newpos = read_one(pos[:n])
+            out[cur[:n]] = vals
+            pos[:n] = newpos
+            cur[:n] += 1
+            rem[:n] -= 1
+            while n > 0 and rem[n - 1] == 0:
+                P[order[n - 1]] = pos[n - 1]
+                n -= 1
         return out, P
 
 
@@ -388,7 +405,15 @@ def decode_block(stream: bytes, bit_offsets, node_lo: int, n_nodes: int,
             ids.append(np.repeat(lv, res_count[lv]))
         vals = np.concatenate(parts)
         nid = np.concatenate(ids)
-        order = np.lexsort((vals, nid))
+        # group-by-node + sort-by-value in ONE sort pass: fuse the two
+        # keys into one int64 when they fit (ids and values < 2^31 —
+        # any realistic block), else fall back to the two-pass lexsort
+        vmax = int(vals.max()) if vals.size else 0
+        if 0 <= int(vals.min() if vals.size else 0) and vmax < (1 << 31) \
+                and n_nodes < (1 << 31):
+            order = np.argsort((nid << 32) | vals, kind="stable")
+        else:
+            order = np.lexsort((vals, nid))
         dst[_slices_flat(lv, out_starts[:-1], deg)] = vals[order]
     src = np.repeat(nodes, deg)
     return src, dst
