@@ -108,3 +108,55 @@ def test_nondefault_codings_rejected():
     stream, offs, out = encode_graph([(0, [1, 2])], 3, p)
     with pytest.raises(ValueError):
         decode_block(stream, offs, 0, 3, out)
+
+
+# ---------------------------------------------------------------------------
+# hybrid Huffman-BVGraph lockstep decoder (decode_block_huff)
+# ---------------------------------------------------------------------------
+
+
+def _check_huff(adj, n, base=0):
+    from webgraph_spark.bvdecode import decode_block_huff
+    from webgraph_spark.bvgraph_huffman import (
+        HuffBVGraphReader,
+        encode_graph_huffman,
+    )
+
+    stream, offs, out = encode_graph_huffman(adj, n, node_base=base)
+    src, dst = decode_block_huff(stream, offs, base, n, out)
+    reader = HuffBVGraphReader(stream, offs, out, node_base=base)
+    pos = 0
+    for x, succ in reader.iter_lists(base, base + n):
+        got = dst[pos: pos + len(succ)].tolist()
+        assert got == succ, f"node {x}: {got[:8]} != {succ[:8]}"
+        assert (src[pos: pos + len(succ)] == x).all()
+        pos += len(succ)
+    assert pos == len(dst) == out.arcs
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("base", [0, 4321])
+def test_huff_matches_scalar_random(seed, base):
+    _check_huff(_random_adj(250, 6, seed, base=base), 250, base=base)
+
+
+def test_huff_hub_scalar_tail_with_chained_contexts():
+    # long residual run forces the scalar tail mid-chain: the tail must
+    # continue from the per-lane prev-value context, not restart
+    rng = np.random.default_rng(5)
+    hub = sorted(set(rng.integers(0, 100000, 20000).tolist()))
+    adj = [(0, hub)] + [
+        (x, sorted(set(rng.integers(0, 100000, 5).tolist())))
+        for x in range(1, 40)
+    ]
+    _check_huff(adj, 40)
+
+
+def test_huff_empty_singleton_and_ref_chains():
+    _check_huff([(1, [5]), (4, list(range(8)))], 10)
+    _check_huff([], 5)
+    lst = sorted({3, 9, 17, 40, 41, 42, 43, 44, 80, 99})
+    _check_huff([(x, lst) for x in range(30)], 30)
+    # all-below-node ids: zig-zag negatives in intervals + residuals
+    _check_huff([(50, [1, 2, 3, 4, 5, 10, 20]),
+                 (51, [1, 2, 3, 4, 5, 10, 20])], 60)

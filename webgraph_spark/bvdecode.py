@@ -182,12 +182,13 @@ class _VecBits:
         while n:
             if scalar_run is not None and n < tail_threshold:
                 for j in range(n):
-                    vals, newp = scalar_run(int(pos[j]), int(rem[j]))
+                    vals, newp = scalar_run(int(pos[j]), int(rem[j]),
+                                            int(order[j]))
                     out[cur[j]: cur[j] + rem[j]] = vals
                     P[order[j]] = newp
                 n = 0
                 break
-            vals, newpos = read_one(pos[:n])
+            vals, newpos = read_one(pos[:n], order[:n])
             out[cur[:n]] = vals
             pos[:n] = newpos
             cur[:n] += 1
@@ -228,6 +229,176 @@ def _nat2int(v: np.ndarray) -> np.ndarray:
     return np.where(v & 1 == 0, v >> 1, -((v + 1) >> 1))
 
 
+def _token_vec(v: np.ndarray) -> np.ndarray:
+    """Vectorized zuck_split(v)[0] for k=4,i=2,j=1 (context chaining).
+    bit_length via frexp's exponent — exact for v < 2^53."""
+    v = np.asarray(v, dtype=np.int64)
+    vv = np.maximum(v, 16)  # keep the big-path shifts well-defined
+    e = np.frexp(vv.astype(np.float64))[1].astype(np.int64)
+    nbits = e - 1 - 3
+    xs = vv >> 1
+    m = (xs >> nbits) & 3
+    tok = 16 + (((nbits - 1) << 3) | (m << 1) | (vv & 1))
+    return np.where(v < 16, v, tok)
+
+
+class _BVCodes:
+    """Section readers for the plain BVGraph coding set (γ/unary/ζ_k)."""
+
+    def __init__(self, vb: _VecBits, p: BVGraphParams) -> None:
+        self.vb, self.k = vb, p.zeta_k
+
+    def outdegrees(self, P, nodes):
+        return self.vb.gamma(P)
+
+    def blocks_run(self, P, counts):
+        return self.vb.run(P, counts, lambda q, _ids: self.vb.gamma(q))
+
+    def interval_pairs_run(self, P, pc):
+        return self.vb.run(P, 2 * pc, lambda q, _ids: self.vb.gamma(q))
+
+    def residuals_run(self, P, counts):
+        vb, k = self.vb, self.k
+
+        def tail(pos, nrem, _lane):
+            vb.scalar.position(pos)
+            return vb.scalar.read_zeta_run(nrem, k), vb.scalar.pos
+
+        return vb.run(P, counts, lambda q, _ids: vb.zeta(q, k),
+                      scalar_run=tail)
+
+
+class _HuffCodes:
+    """Section readers for the hybrid Huffman-BVGraph stream.
+
+    Canonical codes are capped at 8 bits (huffman.K_MAX_HUFFMAN_BITS),
+    so each context's decode table expands into a 256-entry LUT:
+    symbol + code length come from one gather on the window's top byte,
+    the Zuckerli tail rides the same 64-bit window (8 + <=30 bits), and
+    zuck_join is plain integer math — one vector op chain per code.
+    Chained contexts (residual/interval streams depend on the PREVIOUS
+    coded value) are per-lane state arrays; lanes advance in lockstep,
+    so the step index alone distinguishes first-in-chain.
+    """
+
+    def __init__(self, vb: _VecBits, stream: bytes) -> None:
+        from webgraph_spark import bvgraph_huffman as bh
+        from webgraph_spark.huffman import HuffmanDecoder
+
+        self.vb = vb
+        self.bh = bh
+        r = BitReader(stream)
+        dec = HuffmanDecoder()
+        dec.decode_headers(r, bh.NUM_CONTEXTS)
+        self.dec = dec
+        SYM = np.full((bh.NUM_CONTEXTS, 256), -1, dtype=np.int16)
+        LEN = np.zeros((bh.NUM_CONTEXTS, 256), dtype=np.int16)
+        for ctx, tbl in dec.tables.items():
+            for (ln, code), sym in tbl.items():
+                base = code << (8 - ln)
+                SYM[ctx, base: base + (1 << (8 - ln))] = sym
+                LEN[ctx, base: base + (1 << (8 - ln))] = ln
+        self.SYM, self.LEN = SYM, LEN
+
+    def _huff(self, P, ctx):
+        w = self.vb._window(P)
+        top = (w >> np.uint64(56)).astype(np.int64)
+        sym = self.SYM[ctx, top].astype(np.int64)
+        if sym.size and int(sym.min()) < 0:
+            raise ValueError("malformed Huffman code in block stream")
+        ln = self.LEN[ctx, top].astype(np.int64)
+        small = sym < 16
+        nb = np.where(small, 0, 1 + ((sym - 16) >> 3))
+        total = (ln + nb).astype(np.uint64)
+        tail = (
+            (w >> (np.uint64(64) - total))
+            & ((_U1 << nb.astype(np.uint64)) - _U1)
+        ).astype(np.int64)
+        big = ((((4 | ((sym >> 1) & 3)) << nb) | tail) << 1) | (sym & 1)
+        return np.where(small, sym, big), P + ln + nb
+
+    def outdegrees(self, P, nodes):
+        pos32 = nodes % 32
+        ctx = np.where(
+            pos32 == 0,
+            self.bh.OUTD_IDX_BEGIN,
+            self.bh.OUTD_IDX_BEGIN + 1
+            + np.minimum(_token_vec(pos32 + 1), 30),
+        )
+        return self._huff(P, ctx)
+
+    def blocks_run(self, P, counts):
+        B = self.bh.BLOCKS_IDX_BEGIN
+        step = {"i": 0}
+
+        def read(pos, _ids):
+            i = step["i"]
+            step["i"] += 1
+            return self._huff(pos, B if i == 0 else B + i % 2 + 1)
+
+        return self.vb.run(P, counts, read)
+
+    def interval_pairs_run(self, P, pc):
+        ILB = self.bh.INTERVALS_LEFT_IDX_BEGIN
+        INB = self.bh.INTERVALS_LEN_IDX_BEGIN
+        prev_l = np.zeros(P.size, dtype=np.int64)
+        prev_n = np.zeros(P.size, dtype=np.int64)
+        step = {"i": 0}
+
+        def read(pos, ids):
+            i = step["i"]
+            step["i"] += 1
+            if i == 0:
+                ctx = ILB
+            elif i == 1:
+                ctx = INB
+            elif i % 2 == 0:
+                ctx = ILB + 1 + np.minimum(_token_vec(prev_l[ids]), 30)
+            else:
+                ctx = INB + 1 + np.minimum(_token_vec(prev_n[ids]), 30)
+            vals, newpos = self._huff(pos, ctx)
+            if i % 2 == 0:
+                prev_l[ids] = vals
+            else:
+                prev_n[ids] = vals
+            return vals, newpos
+
+        return self.vb.run(P, 2 * pc, read)
+
+    def residuals_run(self, P, counts):
+        bh = self.bh
+        RES = bh.RESIDUALS_IDX_BEGIN
+        first_ctx = RES + np.minimum(_token_vec(counts), 31)
+        prev = np.full(P.size, -1, dtype=np.int64)
+        step = {"i": 0}
+
+        def read(pos, ids):
+            i = step["i"]
+            step["i"] += 1
+            if i == 0:
+                ctx = first_ctx[ids]
+            else:
+                ctx = RES + 32 + np.minimum(_token_vec(prev[ids]), 79)
+            vals, newpos = self._huff(pos, ctx)
+            prev[ids] = vals
+            return vals, newpos
+
+        def tail(pos, nrem, lane):
+            r = self.vb.scalar
+            r.position(pos)
+            pv = int(prev[lane])
+            out = []
+            for _ in range(nrem):
+                c = (int(first_ctx[lane]) if pv < 0
+                     else RES + 32 + min(bh._token(pv), 79))
+                pv = self.dec.read_next(r, c)
+                out.append(pv)
+            prev[lane] = pv
+            return out, r.pos
+
+        return self.vb.run(P, counts, read, scalar_run=tail)
+
+
 def decode_block(stream: bytes, bit_offsets, node_lo: int, n_nodes: int,
                  params: BVGraphParams | None = None):
     """Decode one BV block -> (src int64 array, dst int64 array).
@@ -238,19 +409,31 @@ def decode_block(stream: bytes, bit_offsets, node_lo: int, n_nodes: int,
     p = params or BVGraphParams()
     if not supports(p):
         raise ValueError("decode_block requires the default coding set")
-    k = p.zeta_k
-    min_il = p.min_interval_len
     vb = _VecBits(stream)
+    return _drive(vb, _BVCodes(vb, p), bit_offsets, node_lo, n_nodes, p)
 
-    def zeta_run_scalar(pos: int, n: int):
-        vb.scalar.position(pos)
-        return vb.scalar.read_zeta_run(n, k), vb.scalar.pos
 
+def decode_block_huff(stream: bytes, bit_offsets, node_lo: int,
+                      n_nodes: int, params: BVGraphParams | None = None):
+    """Decode one hybrid Huffman-BVGraph block -> (src, dst) arrays.
+
+    Same lockstep driver as decode_block; only the code readers differ
+    (LUT canonical Huffman + Zuckerli tails, chained contexts). Verified
+    bit-for-bit against HuffBVGraphReader by tests/test_bvdecode.py."""
+    p = params or BVGraphParams()
+    vb = _VecBits(stream)
+    return _drive(vb, _HuffCodes(vb, stream), bit_offsets, node_lo,
+                  n_nodes, p)
+
+
+def _drive(vb, codes, bit_offsets, node_lo: int, n_nodes: int,
+           p: BVGraphParams):
+    min_il = p.min_interval_len
     offs = np.asarray(bit_offsets, dtype=np.int64)[:n_nodes]
     nodes = node_lo + np.arange(n_nodes, dtype=np.int64)
 
     # --- headers: outdegree, reference -------------------------------
-    deg, P = vb.gamma(offs)
+    deg, P = codes.outdegrees(offs, nodes)
     nz = np.flatnonzero(deg > 0)
     ref = np.zeros(n_nodes, dtype=np.int64)
     if p.window_size > 0 and nz.size:
@@ -264,7 +447,7 @@ def decode_block(stream: bytes, bit_offsets, node_lo: int, n_nodes: int,
     extra = deg.copy()
     if hasref.size:
         bc[hasref], P[hasref] = vb.gamma(P[hasref])
-        blocks_flat, newP = vb.run(P[hasref], bc[hasref], vb.gamma)
+        blocks_flat, newP = codes.blocks_run(P[hasref], bc[hasref])
         P[hasref] = newP
         # stored as: first block verbatim, later blocks - 1
         firsts = _seg_starts(bc[hasref])[bc[hasref] > 0]
@@ -296,7 +479,7 @@ def decode_block(stream: bytes, bit_offsets, node_lo: int, n_nodes: int,
         has_iv = np.flatnonzero(iv_count > 0)
         if has_iv.size:
             pc = iv_count[has_iv]
-            pairs, newP = vb.run(P[has_iv], 2 * pc, vb.gamma)
+            pairs, newP = codes.interval_pairs_run(P[has_iv], pc)
             P[has_iv] = newP
             # un-interleave (left_code, len_code) pairs
             odd = _seg_arange(2 * pc) & 1
@@ -328,8 +511,7 @@ def decode_block(stream: bytes, bit_offsets, node_lo: int, n_nodes: int,
     has_res = res_count > 0
     if has_res.any():
         rc = res_count[has_res]
-        gaps, newP = vb.run(P[has_res], rc, lambda q: vb.zeta(q, k),
-                            scalar_run=zeta_run_scalar)
+        gaps, newP = codes.residuals_run(P[has_res], rc)
         P[has_res] = newP
         firsts = _seg_starts(rc)
         v0 = _nat2int(gaps[firsts]) + nodes[has_res]

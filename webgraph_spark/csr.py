@@ -332,10 +332,14 @@ def build_csr_huff(edges: DataFrame, num_blocks: int | None = None) -> DataFrame
 
 
 def decode_csr_huff(blocks: DataFrame) -> DataFrame:
-    """Inverse of build_csr_huff (distributed, block-local windowed
-    sequential decode)."""
+    """Inverse of build_csr_huff (distributed, block-local decode).
+
+    Routes through the numpy lockstep decoder (bvdecode.decode_block_huff:
+    256-entry LUTs per context, chained contexts as per-lane state —
+    ~8x the scalar HuffBVGraphReader, which remains the reference
+    implementation and the random-access serving path)."""
+    from webgraph_spark.bvdecode import decode_block_huff
     from webgraph_spark.bvgraph import BVGraphParams
-    from webgraph_spark.bvgraph_huffman import HuffBVGraphReader
 
     def _unpack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -343,19 +347,15 @@ def decode_csr_huff(blocks: DataFrame) -> DataFrame:
             for i in range(b.num_rows):
                 lo = d["node_lo"][i]
                 n = d["n_nodes"][i]
-                reader = HuffBVGraphReader(
+                src, dst = decode_block_huff(
                     d["stream"][i],
                     d["bit_offsets"][i],
+                    lo,
+                    n,
                     BVGraphParams(nodes=n, arcs=d["n_edges"][i]),
-                    node_base=lo,
                 )
-                srcs, dsts = [], []
-                for x, succ in reader.iter_lists(lo, lo + n):
-                    srcs.extend([x] * len(succ))
-                    dsts.extend(succ)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(srcs, pa.int64()), pa.array(dsts, pa.int64())],
-                    names=["src", "dst"],
+                    [pa.array(src), pa.array(dst)], names=["src", "dst"]
                 )
 
     return blocks.mapInArrow(_unpack, schema="src long, dst long")
