@@ -263,11 +263,23 @@ def main():
     for _x, _s in reader.iter_lists(0, n_g):
         pass
     ts = time.time() - t0
+    # hybrid-Huffman twin (decode_block_huff, r4)
+    from webgraph_spark.bvdecode import decode_block_huff
+    from webgraph_spark.bvgraph_huffman import encode_graph_huffman
+
+    hstream, hoffs, houtp = encode_graph_huffman(adj, n_g)
+    tvh = None
+    for _ in range(3):
+        t0 = time.time()
+        decode_block_huff(hstream, hoffs, 0, n_g, houtp)
+        dt = time.time() - t0
+        tvh = dt if tvh is None else min(tvh, dt)
     decode_bench = {
         "edges": int(m_g),
         "vectorized_edges_per_sec_core": round(m_g / tv, 1),
         "scalar_edges_per_sec_core": round(m_g / ts, 1),
         "speedup": round(ts / tv, 2),
+        "huffman_vectorized_edges_per_sec_core": round(m_g / tvh, 1),
     }
     spark.stop()
 
