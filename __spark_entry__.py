@@ -236,6 +236,25 @@ def _q_connected_components(spark, sf_dir):
 
 
 def _q_pagerank_top20(spark, sf_dir):
+    # fixed-iteration exact top-20 (r4 VERDICT #5): 5 supersteps, ranks
+    # exported as an integer rank_e9 digest (floor(r*1e9+0.5); engines
+    # agree to ~1e-15 relative, digest granularity 1e-9 — 6 orders of
+    # safety) and the top-20 ORDER is taken over the digest itself, so
+    # both engines cut the same 20 rows. Oracle: the shared unrolled
+    # CTE chain with the same digest + LIMIT 20.
+    ranks, _ = pagerank(testdata_graph(spark, sf_dir), tol=0.0, max_iter=5)
+    digest = ranks.select(
+        "vertex_id",
+        F.floor(F.col("rank") * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("rank_e9"),
+    )
+    return digest.orderBy(F.desc("rank_e9"), F.asc("vertex_id")).limit(20)
+
+
+def _q_pagerank_conv_top20(spark, sf_dir):
+    # convergence variant (tol-driven early stop) — iteration count is
+    # data/fp dependent, so rows-only by design; kept in extras.
     ranks, _ = pagerank(testdata_graph(spark, sf_dir), tol=1e-6, max_iter=60)
     return ranks.orderBy(F.desc("rank"), F.asc("vertex_id")).limit(20).select(
         "vertex_id", F.round("rank", 8).alias("rank")
@@ -564,8 +583,11 @@ _EXTRA_QUERIES = {
     "triangle_total",
     # same degrees, graph.py path; csr_out_degrees + degree_topk remain
     "graph_out_degrees",
-    # no_oracle convergence twin; csr kernel exact via pagerank_csr_5iter
+    # no_oracle convergence twins (tol-driven early stop — iteration
+    # count is fp-dependent); the fixed-iter exact digests cover both
+    # kernels in the driver window (pagerank_top20 / *_5iter ×2)
     "pagerank_csr_top20",
+    "pagerank_conv_top20",
     # lang_id_eval's oracle embeds the full lang_id SQL
     "lang_id",
     # rows-only by design (recall>=0.9 pytest-asserted on planted
@@ -634,6 +656,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_per_vertex": _q_triangle_per_vertex,
         "connected_components": _q_connected_components,
         "pagerank_top20": _q_pagerank_top20,
+        "pagerank_conv_top20": _q_pagerank_conv_top20,
         "pagerank_csr_top20": _q_pagerank_csr_top20,
         "pagerank_5iter": _q_pagerank_5iter,
         "pagerank_csr_5iter": _q_pagerank_csr_5iter,
@@ -770,11 +793,11 @@ QUALIFY rank <= 10
 """
 
 
-def _pagerank_5iter_sql(alpha: float = 0.85, iters: int = 5) -> str:
+def _pagerank_ctes(alpha: float = 0.85, iters: int = 5) -> str:
     """The PageRank update equation unrolled as a CTE chain. Arithmetic
     association mirrors the Spark loop exactly (w = 1/outdeg precomputed,
     base = (1-a)/n + (a*dang)/n, rank = base + a*contrib); only fp sum
-    order differs, absorbed by round(...,6)."""
+    order differs, absorbed by the callers' rounding/digest."""
     ctes = [
         "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
         "ew AS (SELECT e.src, e.dst, CAST(1 AS DOUBLE)/d.outdeg AS w"
@@ -803,10 +826,26 @@ def _pagerank_5iter_sql(alpha: float = 0.85, iters: int = 5) -> str:
             f" + {a} * coalesce(c.contrib, 0e0) AS rank"
             f" FROM r{p} p LEFT JOIN c{k} c USING (vertex_id))"
         )
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def _pagerank_5iter_sql(alpha: float = 0.85, iters: int = 5) -> str:
     return (
-        f"{_GRAPH_CTE},\n{body}\n"
+        f"{_GRAPH_CTE},\n{_pagerank_ctes(alpha, iters)}\n"
         f"SELECT vertex_id, round(rank, 6) AS rank_r6 FROM r{iters}"
+    )
+
+
+def _pagerank_top20_sql(alpha: float = 0.85, iters: int = 5) -> str:
+    """Fixed-iteration exact top-20: the same unrolled chain, ranks as
+    an int64 e9 digest, top-20 cut on the digest itself (tie -> vertex
+    asc) so both engines select identical rows."""
+    return (
+        f"{_GRAPH_CTE},\n{_pagerank_ctes(alpha, iters)}\n"
+        f"SELECT vertex_id,"
+        f" CAST(floor(rank * 1e9 + 0.5) AS BIGINT) AS rank_e9"
+        f" FROM r{iters}"
+        f" ORDER BY rank_e9 DESC, vertex_id ASC LIMIT 20"
     )
 
 
@@ -1105,6 +1144,7 @@ FROM documents""",
         "effective_diameter": (
             f"{g},\n{effective_diameter_fixed_sql(t=3, m=16, alpha=0.9)}"
         ),
+        "pagerank_top20": _pagerank_top20_sql(),
         "pagerank_5iter": _pagerank_5iter_sql(),
         "pagerank_csr_5iter": _pagerank_5iter_sql(),
         "label_propagation": _labelprop_sql(5),

@@ -155,7 +155,7 @@ FROM documents
 
 
 def corpus_stats(docs: DataFrame) -> DataFrame:
-    """(source, n_docs, total_tokens, avg_quality_r4) — per-source
+    """(source, n_docs, total_tokens, avg_quality_e4) — per-source
     corpus composition report: the rollup a dataset card / mixture
     designer reads.
 
@@ -166,8 +166,11 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
     per row in both engines) instead of avg() over doubles: a rounded
     float average flips its last digit when the partial-agg summation
     order changes with partitioning (the r3 hash-fail), an int64 sum
-    never does. The 4dp average is derived from the exact integer sum
-    by one deterministic division, identically in CORPUS_STATS_SQL."""
+    never does. The exported average is a pure-BIGINT e4 digest
+    (half-up round of sum_q_micro / (100 * n_docs), i.e. avg*1e4)
+    computed by INTEGER division in both engines — no DOUBLE ever
+    leaves the plan, so no engine/build can disagree on a last digit
+    (the r3/r4 hash-fail was environment-specific double rounding)."""
     text = F.col("text")
     t = F.trim(text)
     n_tokens = (
@@ -200,12 +203,12 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
             "source",
             "n_docs",
             "total_tokens",
-            F.round(
-                F.col("sum_q_micro").cast("double")
-                / F.col("n_docs").cast("double")
-                / F.lit(1e6),
-                4,
-            ).alias("avg_quality_r4"),
+            # half-up round(sum_q_micro / (100*n_docs)) in pure int64:
+            # floor((2*sum + 100*n) / (200*n)); `div` is Spark's
+            # integral division, exact for these magnitudes.
+            F.expr(
+                "(2 * sum_q_micro + 100 * n_docs) div (200 * n_docs)"
+            ).alias("avg_quality_e4"),
         )
     )
 
@@ -262,9 +265,16 @@ WITH per_doc AS (
     FROM documents
   )
 )
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       round(CAST(sum(q_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 4)
-         AS avg_quality_r4
+SELECT source, count(*) AS n_docs,
+       -- DuckDB sum(BIGINT) is HUGEINT (float64 once in pandas) —
+       -- cast back so the column is int64 in both engines
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       -- pure-BIGINT e4 digest: half-up round(sum_q_micro/(100*n_docs))
+       -- = floor((2*sum + 100*n) / (200*n)); // is DuckDB's integer
+       -- floor division — identical to Spark's `div` for these
+       -- non-negative int64s, so the column is engine-exact.
+       CAST((2 * sum(q_micro) + 100 * count(*)) // (200 * count(*))
+         AS BIGINT) AS avg_quality_e4
 FROM per_doc
 GROUP BY source
 """
