@@ -127,6 +127,23 @@ def test_bvgraph_ef_offsets_roundtrip(tmp_path):
         assert g.successors(x) == expect.get(x, [])
 
 
+def test_reexport_plain_after_ef_removes_stale_sidecar(tmp_path):
+    """r4 ADVICE: read_offsets prefers .offsets.ef, so re-exporting the
+    same basename with ef_offsets=False after an earlier ef export must
+    unlink the stale EF sidecar — otherwise the fresh .graph decodes
+    with the OLD bit positions (IndexError or silently wrong edges)."""
+    base = str(tmp_path / "re")
+    store_bvgraph(_random_adj(150, 6, seed=4), 150, base, ef_offsets=True)
+    assert os.path.exists(base + ".offsets.ef")
+    adj2 = _random_adj(150, 11, seed=5)  # different bit layout
+    store_bvgraph(adj2, 150, base, ef_offsets=False)
+    assert not os.path.exists(base + ".offsets.ef")
+    g = load_bvgraph(base)
+    expect = {x: s for x, s in adj2}
+    for x in range(150):
+        assert g.successors(x) == expect.get(x, [])
+
+
 def test_cross_family_load_rejects_plain_bvgraph(tmp_path):
     base = str(tmp_path / "plain")
     store_bvgraph([(0, [1]), (1, [0, 2])], 3, base)

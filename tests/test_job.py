@@ -179,6 +179,25 @@ def test_job_stream_degrees_resumes_from_checkpoint(spark, tmp_path):
     } == {(1, 3), (2, 1), (3, 1)}
 
 
+def test_job_stream_degrees_derived_seed_rerun_is_idempotent(spark, tmp_path):
+    """r4 ADVICE: with --stream-input omitted the mode seeds derived
+    edges into <output>/stream_input; a crash re-run with identical args
+    must NOT append a second copy (the file-source checkpoint would see
+    the new part files as unseen and double-count every degree)."""
+    from webgraph_spark import job
+
+    base = [
+        "--algorithm", "stream_degrees", "--synth-files", "40",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--output", str(tmp_path / "o"), "--master", "local[8]",
+    ]
+    s1 = job.run(base)
+    assert s1["total_degree"] > 0
+    s2 = job.run(base)
+    assert s2["total_degree"] == s1["total_degree"]
+    assert s2["n_vertices"] == s1["n_vertices"]
+
+
 @pytest.mark.slow
 def test_spark_submit_pagerank_and_resume(tmp_path):
     ckpt = str(tmp_path / "ckpt")

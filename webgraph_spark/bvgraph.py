@@ -906,13 +906,22 @@ def write_offsets(offsets, basename: str, params: BVGraphParams,
                   ef: bool = False) -> None:
     """Persist the n+1 bit positions: γ-gap `.offsets` by default, or an
     Elias–Fano `.offsets.ef` sidecar when ef=True (the reference's
-    --ef switch, bvgraph.rs:173-185 — it writes one OR the other)."""
+    --ef switch, bvgraph.rs:173-185 — it writes one OR the other).
+
+    One-or-the-other is enforced on re-export too: the sibling variant
+    is unlinked, because read_offsets prefers `.offsets.ef` and a stale
+    EF sidecar from an earlier export would shadow a fresh `.offsets`
+    with wrong bit positions (r4 ADVICE)."""
     if ef:
         from webgraph_spark.eliasfano import EliasFano, serialize_ef
 
         with open(basename + ".offsets.ef", "wb") as f:
             f.write(serialize_ef(EliasFano(offsets)))
+        if os.path.exists(basename + ".offsets"):
+            os.unlink(basename + ".offsets")
         return
+    if os.path.exists(basename + ".offsets.ef"):
+        os.unlink(basename + ".offsets.ef")
     ow = BitWriter()
     prev = 0
     for o in offsets:

@@ -153,10 +153,17 @@ def run(argv: list[str]) -> dict:
         stream_in = args.stream_input
         if stream_in is None:
             stream_in = os.path.join(args.output, "stream_input")
-            _, seed_edges = build_graph(sources)
-            seed_edges.select("src", "dst").write.mode("append").parquet(
-                stream_in
-            )
+            # Seed the derived edges ONLY on first creation: a crash
+            # re-run with the same args must not append a second copy
+            # of the same edges — the file-source checkpoint would see
+            # the new part files as unseen and double-count degrees
+            # (r4 ADVICE). Re-invocations fold in only genuinely new
+            # files dropped into the directory.
+            if not os.path.isdir(stream_in):
+                _, seed_edges = build_graph(sources)
+                seed_edges.select("src", "dst").write.mode("append").parquet(
+                    stream_in
+                )
         log_dir = os.path.join(args.output, "degree_log")
         q = start_incremental_degrees(
             spark, stream_in, log_dir,
