@@ -16,6 +16,7 @@ import pytest
 
 from webgraph_spark.bvgraph import (
     BVGraphParams,
+    edges_to_bvgraph,
     load_bvgraph,
     read_properties,
     store_bvgraph,
@@ -113,6 +114,43 @@ def test_spark_roundtrip_distributed(spark, small_graph, tmp_path,
     want = {(int(a), int(b)) for a, b in zip(src, dst)}
     assert got == want
     assert out.arcs == len(want)
+
+
+@pytest.mark.parametrize(
+    "to_files,loader",
+    [
+        (edges_to_bvgraph, load_bvgraph),
+        (edges_to_zuckerli, load_zuckerli),
+        (edges_to_huffgraph, load_huffgraph),
+    ],
+    ids=["bvgraph", "zuckerli", "huffgraph"],
+)
+def test_parallel_export_matches_single_writer(spark, small_graph,
+                                               tmp_path, to_files, loader):
+    """r4 VERDICT #4: the num_ranges=R export encodes node ranges in
+    parallel on executors (window reset at boundaries, global entropy
+    header from merged histograms) and must decode to the same graph as
+    the driver-streamed single writer — including ranges that hold no
+    out-edges and a range count that doesn't divide n."""
+    edges, n, src, dst = small_graph
+    want = {}
+    for a, b in zip(src, dst):
+        want.setdefault(int(a), set()).add(int(b))
+    want = {k: sorted(v) for k, v in want.items()}
+    single = str(tmp_path / "s")
+    to_files(edges, single)
+    for R in (7, 16):
+        base = str(tmp_path / f"p{R}")
+        out = to_files(edges, base, num_ranges=R)
+        g = loader(base)
+        assert g.num_nodes == n and g.num_arcs == out.arcs
+        for x in range(n):
+            assert g.successors(x) == want.get(x, []), f"R={R} node {x}"
+        # density regression vs the single writer is bounded: boundary
+        # windows lose at most window_size reference candidates/range
+        assert os.path.getsize(base + ".graph") <= int(
+            os.path.getsize(single + ".graph") * 1.10 + 64 * R
+        )
 
 
 def test_bvgraph_ef_offsets_roundtrip(tmp_path):

@@ -141,6 +141,46 @@ def test_huffman_family_interop_both_directions(ref_bins, bv_base):
     )
 
 
+def test_reference_decodes_parallel_exports(ref_bins, bv_base, spark,
+                                            tmp_path):
+    """The num_ranges parallel exports (window reset at range
+    boundaries, global entropy header from merged histograms) must
+    still be files the REFERENCE decodes — reference chains never
+    cross a boundary, so the sequential Rust decoder is oblivious."""
+    from webgraph_spark.bvgraph import edges_to_bvgraph
+    from webgraph_spark.bvgraph_huffman import edges_to_huffgraph
+    from webgraph_spark.zuckerli import edges_to_zuckerli
+
+    _, expect, _ = bv_base
+    rows = [(x, y) for x, s in expect.items() for y in s]
+    edges = spark.createDataFrame(rows, "src long, dst long").coalesce(4)
+
+    base = str(tmp_path / "pbv")
+    edges_to_bvgraph(edges, base, num_ranges=9)
+    _run(ref_bins, "decompress_to_ascii", base, str(tmp_path / "pa"))
+    got = {}
+    with open(str(tmp_path / "pa") + ".txt") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            got[int(parts[0])] = [int(v) for v in parts[1:] if v != ""]
+    for x in range(N):
+        assert got[x] == expect.get(x, []), f"bv node {x}"
+
+    hb = str(tmp_path / "phuff")
+    edges_to_huffgraph(edges, hb, num_ranges=9)
+    _run(ref_bins, "decompress_huff", hb, str(tmp_path / "phd"))
+    _assert_graph_equals(
+        load_bvgraph(str(tmp_path / "phd")), expect, N, "par-huff->ref"
+    )
+
+    zb = str(tmp_path / "pzuck")
+    edges_to_zuckerli(edges, zb, num_ranges=9)
+    _run(ref_bins, "decompress_zuckerli", zb, str(tmp_path / "pzd"))
+    _assert_graph_equals(
+        load_bvgraph(str(tmp_path / "pzd")), expect, N, "par-zuck->ref"
+    )
+
+
 def test_zuckerli_family_interop_both_directions(ref_bins, bv_base):
     base, expect, d = bv_base
     _run(ref_bins, "compress_zuckerli", base, str(d / "refzuck"))

@@ -997,21 +997,270 @@ def load_bvgraph(basename: str) -> BVGraphReader:
 
 def edges_to_bvgraph(edges, basename: str,
                      params: BVGraphParams | None = None,
-                     ef_offsets: bool = False) -> BVGraphParams:
+                     ef_offsets: bool = False,
+                     num_ranges: int | None = None) -> BVGraphParams:
     """Export an edge DataFrame to BVGraph files.
 
-    The BVGraph bitstream is inherently sequential in node order (the
-    window references earlier lists), so the final encode streams
-    adjacency through the driver via toLocalIterator — the same
-    single-writer model as the reference (its compression is
+    num_ranges=None (default, small-graph path): the final encode
+    streams adjacency through the driver via toLocalIterator — the
+    same single-writer model as the reference (its compression is
     single-threaded, ref README.md:106). Aggregation/sorting of the
-    adjacency stays distributed; for engine-native scalable storage
-    use csr.py's per-partition blocks instead.
+    adjacency stays distributed.
+
+    num_ranges=R > 1 (the 100×-scale path, r4 VERDICT #4): the node id
+    space splits into R contiguous ranges, each encoded IN PARALLEL by
+    an executor task with the compression window reset at the range
+    boundary (exactly the per-partition locality model the engine's
+    CSR block codec already uses, csr.build_csr_bv); the driver then
+    bit-rebases and concatenates the R bitstreams and derives global
+    offsets from the per-range bit lengths. Output is a standard
+    single-file BVGraph trio — reference chains never cross a range
+    boundary, so both the engine's random-access reader and the
+    reference's sequential decoder consume it unchanged (interop-
+    verified in tests/test_reference_interop.py's format). Density
+    cost: boundary nodes lose up to window_size reference candidates —
+    measured at cnr-2000 scale in BENCH.md (round 5). Deterministic
+    for a given (edges, R).
     """
+    if not num_ranges or num_ranges <= 1:
+        it, n_nodes = driver_adjacency(edges)
+        return store_bvgraph(it, n_nodes, basename, params,
+                             ef_offsets=ef_offsets)
+    return _edges_to_bvgraph_parallel(
+        edges, basename, params, ef_offsets, num_ranges
+    )
+
+
+def concat_bitstreams(parts):
+    """Bit-exact concatenation of (bytes, nbits) MSB-first bitstreams:
+    each stream after the first is shifted right by the running bit
+    offset modulo 8 and OR-merged into the output (BitWriter zero-pads
+    tail bits, so the OR never sees garbage). O(total bytes) numpy."""
+    streams = [
+        (np.frombuffer(raw, dtype=np.uint8)[: (nb + 7) // 8], nb)
+        for raw, nb in parts
+        if nb > 0
+    ]
+    total_bits = sum(nb for _, nb in streams)
+    out = np.zeros((total_bits + 7) // 8, dtype=np.uint8)
+    pos = 0
+    for b, nb in streams:
+        s = pos % 8
+        byte0 = pos // 8
+        if s == 0:
+            out[byte0 : byte0 + b.size] = b
+        else:
+            out[byte0 : byte0 + b.size] |= b >> s
+            lo = ((b.astype(np.uint16) << (8 - s)) & 0xFF).astype(np.uint8)
+            room = out.size - byte0 - 1
+            out[byte0 + 1 : byte0 + 1 + min(b.size, room)] |= lo[
+                : min(b.size, room)
+            ]
+        pos += nb
+    return out.tobytes(), total_bits
+
+
+def _ranged_adjacency(edges, num_ranges: int):
+    """(ranged_df, n_nodes, rng_size): adjacency rows tagged with their
+    contiguous node range, plus one skeleton row per range (src=-1,
+    dropped by the encoder) so ranges with no out-edges still emit
+    their all-empty-list stream. Shared by every parallel export."""
     from pyspark.sql import functions as F
 
-    it, n_nodes = driver_adjacency(edges)
-    return store_bvgraph(it, n_nodes, basename, params, ef_offsets=ef_offsets)
+    spark = edges.sparkSession
+    n_nodes = (
+        edges.select(F.greatest(F.max("src"), F.max("dst")).alias("m"))
+        .first()["m"]
+    )
+    n_nodes = int(n_nodes) + 1 if n_nodes is not None else 0
+    if n_nodes == 0:
+        return None, 0, 0
+    rng_size = -(-n_nodes // num_ranges)  # ceil
+
+    adj = edges.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("succ")
+    )
+    skeleton = spark.range(0, (n_nodes + rng_size - 1) // rng_size).select(
+        F.col("id").alias("range_idx"),
+        F.lit(-1).cast("long").alias("src"),
+        F.array().cast("array<long>").alias("succ"),
+    )
+    ranged = adj.select(
+        (F.col("src") / F.lit(rng_size)).cast("long").alias("range_idx"),
+        "src",
+        "succ",
+    ).unionByName(skeleton)
+    return ranged, n_nodes, rng_size
+
+
+def _pdf_adjacency(pdf):
+    """applyInPandas group -> ordered (node, successors) iterator."""
+    rows = pdf[pdf["src"] >= 0].sort_values("src")
+    return (
+        (int(s), [int(v) for v in succ])
+        for s, succ in zip(rows["src"], rows["succ"])
+    )
+
+
+_PART_SCHEMA = (
+    "range_idx long, nbits long, graph binary, lengths binary, arcs long"
+)
+
+
+def _part_row(ridx, graph_bytes, offsets, arcs):
+    import pandas as pd
+
+    off = np.asarray(offsets, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "range_idx": [ridx],
+            "nbits": [int(off[-1])],
+            "graph": [graph_bytes],
+            # per-node bit lengths (n entries) — global offsets are one
+            # cumsum over every range's lengths on the driver
+            "lengths": [np.diff(off).tobytes()],
+            "arcs": [arcs],
+        }
+    )
+
+
+def _assemble_parts(parts, n_nodes, lead_bits: int = 0, lead: bytes = b""):
+    """Driver-side concatenation of collected range parts (+ optional
+    leading header segment): returns (graph_bytes, offsets, arcs)."""
+    parts = sorted(parts, key=lambda r: r["range_idx"])
+    graph_bytes, total_bits = concat_bitstreams(
+        ([(lead, lead_bits)] if lead_bits else [])
+        + [(r["graph"], r["nbits"]) for r in parts]
+    )
+    lengths = np.concatenate(
+        [np.frombuffer(r["lengths"], dtype=np.int64) for r in parts]
+    )
+    offsets = np.full(n_nodes + 1, lead_bits, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    offsets[1:] += lead_bits
+    assert int(offsets[-1]) == total_bits
+    return graph_bytes, offsets, int(sum(r["arcs"] for r in parts))
+
+
+def _edges_to_bvgraph_parallel(edges, basename, params, ef_offsets,
+                               num_ranges):
+    p = params or BVGraphParams()
+    ranged, n_nodes, rng_size = _ranged_adjacency(edges, num_ranges)
+    if n_nodes == 0:
+        return store_bvgraph([], 0, basename, p, ef_offsets=ef_offsets)
+
+    def encode_range(key, pdf):
+        ridx = int(key[0])
+        lo = ridx * rng_size
+        hi = min(lo + rng_size, n_nodes)
+        graph_bytes, offsets, out = encode_graph(
+            _pdf_adjacency(pdf), hi - lo, p, node_base=lo
+        )
+        return _part_row(ridx, graph_bytes, offsets, out.arcs)
+
+    parts = (
+        ranged.groupBy("range_idx")
+        .applyInPandas(encode_range, schema=_PART_SCHEMA)
+        .collect()
+    )
+    graph_bytes, offsets, arcs = _assemble_parts(parts, n_nodes)
+    out = replace(p, nodes=n_nodes, arcs=arcs)
+    with open(basename + ".graph", "wb") as f:
+        f.write(graph_bytes)
+    write_offsets(offsets.tolist(), basename, out, ef=ef_offsets)
+    write_properties(out, basename)
+    return out
+
+
+def parallel_entropy_export(edges, basename, params, ef_offsets, num_ranges,
+                            range_histograms, encode_range, headers,
+                            extra_flags):
+    """Shared two-stage parallel export for the entropy-coded families
+    (hybrid Huffman + Zuckerli; r4 VERDICT #4). Their single global
+    header must see GLOBAL statistics, so:
+
+      stage 1 (distributed): per-range pass-1 replay -> per-context
+        token histograms (the only statistic code construction needs),
+        merged on the driver by elementwise sum;
+      driver: canonical tables + header segment from the merged
+        histograms (deterministic, so executors can REBUILD the same
+        tables from the broadcast histograms — no table serialization);
+      stage 2 (distributed): per-range headerless emission with the
+        global tables, window reset at range boundaries;
+      driver: bit-rebase concatenation (header + ranges) and one
+        offsets cumsum.
+
+    The two stages share one persisted ranged-adjacency DataFrame, so
+    the groupBy/collect_set shuffle runs once. Output is a standard
+    single-header file trio readable by the engine AND the reference
+    binaries (tests/test_reference_interop.py's formats)."""
+    p = params or BVGraphParams()
+    ranged, n_nodes, rng_size = _ranged_adjacency(edges, num_ranges)
+    if n_nodes == 0:
+        return None  # caller falls back to its single-writer store
+    spark = edges.sparkSession
+    ranged = ranged.persist()
+    try:
+        def histo(key, pdf):
+            import pandas as pd
+
+            ridx = int(key[0])
+            lo = ridx * rng_size
+            hi = min(lo + rng_size, n_nodes)
+            h, ch = range_histograms(_pdf_adjacency(pdf), hi - lo, p, lo)
+            return pd.DataFrame(
+                {"range_idx": [ridx], "h": [h.tobytes()], "c": [ch.tobytes()]}
+            )
+
+        hrows = (
+            ranged.groupBy("range_idx")
+            .applyInPandas(histo, schema="range_idx long, h binary, c binary")
+            .collect()
+        )
+        merged = np.sum(
+            [
+                np.frombuffer(r["h"], dtype=np.int64).reshape(-1, 256)
+                for r in hrows
+            ],
+            axis=0,
+        )
+        # stage-1 reference choices (1 byte/node) ride to stage 2 via
+        # broadcast so the quadratic selection pass runs exactly once
+        choices = np.zeros(n_nodes, dtype=np.uint8)
+        for r in hrows:
+            lo = int(r["range_idx"]) * rng_size
+            ch = np.frombuffer(r["c"], dtype=np.uint8)
+            choices[lo : lo + ch.size] = ch
+        bc = spark.sparkContext.broadcast(merged)
+        bc_ch = spark.sparkContext.broadcast(choices)
+
+        def enc(key, pdf):
+            ridx = int(key[0])
+            lo = ridx * rng_size
+            hi = min(lo + rng_size, n_nodes)
+            stream, offsets, arcs = encode_range(
+                _pdf_adjacency(pdf), hi - lo, p, lo, bc.value,
+                choices=bc_ch.value[lo:hi],
+            )
+            return _part_row(ridx, stream, offsets, arcs)
+
+        parts = (
+            ranged.groupBy("range_idx")
+            .applyInPandas(enc, schema=_PART_SCHEMA)
+            .collect()
+        )
+    finally:
+        ranged.unpersist()
+    head, head_bits = headers(merged)
+    graph_bytes, offsets, arcs = _assemble_parts(
+        parts, n_nodes, lead_bits=head_bits, lead=head
+    )
+    out = replace(p, nodes=n_nodes, arcs=arcs, **extra_flags)
+    with open(basename + ".graph", "wb") as f:
+        f.write(graph_bytes)
+    write_offsets(offsets.tolist(), basename, out, ef=ef_offsets)
+    write_properties(out, basename)
+    return out
 
 
 def driver_adjacency(edges):

@@ -132,20 +132,12 @@ def _node_stream(x, succ, reference, ref_list, params):
     return
 
 
-def encode_graph_huffman(
-    adjacency, n_nodes: int, params: BVGraphParams | None = None, node_base: int = 0
-):
-    """Two-pass hybrid compression. adjacency: iterable of
-    (node, sorted successors) in increasing node order. Returns
-    (stream_bytes, bit_offsets[n+1], params): bit_offsets[0] is the end
-    of the Huffman headers == start of node 0's record."""
-    p = params or BVGraphParams()
+def _pass1_huffman(adj: dict, n_nodes: int, p: BVGraphParams,
+                   node_base: int):
+    """Greedy reference selection + per-context value collection.
+    Deterministic in (adj, p, node_base) — the parallel export replays
+    it in both stages instead of shipping the choices."""
     cbs = p.window_size + 1
-
-    # ---- pass 1: greedy reference selection + context collection ----
-    adj = {}
-    for node, succ in adjacency:
-        adj[node] = list(succ)
     choices: dict[int, int] = {}
     win_list: list[list[int]] = [[] for _ in range(cbs)]
     win_ref_count = [0] * cbs
@@ -179,14 +171,19 @@ def encode_graph_huffman(
         for kind, ctx, v in _node_stream(node, succ, best_r, ref_list, p):
             if kind == "huff":
                 values[ctx].append(v)
+    return choices, values
 
-    # ---- headers + pass 2: entropy-coded emission --------------------
-    w = BitWriter()
-    enc = HuffmanEncoder()
-    enc.init(values, w)
+
+def _pass2_huffman(adj: dict, n_nodes: int, p: BVGraphParams,
+                   node_base: int, choices, enc: HuffmanEncoder,
+                   w: BitWriter):
+    """Entropy-coded emission with prebuilt tables; headers are the
+    caller's concern (inline for the single writer, a separate driver
+    segment for the parallel export)."""
+    cbs = p.window_size + 1
     offsets = []
     arcs = 0
-    win_list = [[] for _ in range(cbs)]
+    win_list: list[list[int]] = [[] for _ in range(cbs)]
     for node in range(node_base, node_base + n_nodes):
         succ = adj.get(node, [])
         arcs += len(succ)
@@ -202,9 +199,71 @@ def encode_graph_huffman(
                 w.write_gamma(v)
         win_list[node % cbs] = succ
     offsets.append(w.written_bits)
+    return offsets, arcs
+
+
+def encode_graph_huffman(
+    adjacency, n_nodes: int, params: BVGraphParams | None = None, node_base: int = 0
+):
+    """Two-pass hybrid compression. adjacency: iterable of
+    (node, sorted successors) in increasing node order. Returns
+    (stream_bytes, bit_offsets[n+1], params): bit_offsets[0] is the end
+    of the Huffman headers == start of node 0's record."""
+    p = params or BVGraphParams()
+    adj = {node: list(succ) for node, succ in adjacency}
+    choices, values = _pass1_huffman(adj, n_nodes, p, node_base)
+    w = BitWriter()
+    enc = HuffmanEncoder()
+    enc.init(values, w)
+    offsets, arcs = _pass2_huffman(adj, n_nodes, p, node_base, choices, enc, w)
     from dataclasses import replace
 
     return w.to_bytes(), offsets, replace(p, nodes=n_nodes, arcs=arcs)
+
+
+def range_histograms_huffman(adjacency, n_nodes, p, node_base):
+    """Parallel-export stage 1: this node range's per-context token
+    histograms (window reset at the range boundary) as an int64
+    [NUM_CONTEXTS, 256] array (merged by elementwise sum), plus the
+    reference choices as a uint8 array (r <= window_size < 256) so
+    stage 2 never replays the quadratic selection pass."""
+    adj = {node: list(succ) for node, succ in adjacency}
+    choices, values = _pass1_huffman(adj, n_nodes, p, node_base)
+    ch = np.fromiter(
+        (choices[node] for node in range(node_base, node_base + n_nodes)),
+        dtype=np.uint8,
+        count=n_nodes,
+    )
+    return np.asarray(HuffmanEncoder.histograms(values), dtype=np.int64), ch
+
+
+def encode_range_huffman(adjacency, n_nodes, p, node_base, histograms,
+                         choices=None):
+    """Parallel-export stage 2: emit this range's headerless stream
+    with the GLOBAL tables rebuilt from the merged histograms. Returns
+    (stream_bytes, bit_offsets rel. 0, arcs). choices: uint8 array of
+    stage-1 reference selections for [node_base, node_base+n) — when
+    None the (deterministic) pass 1 is replayed instead."""
+    adj = {node: list(succ) for node, succ in adjacency}
+    if choices is None:
+        ch, _ = _pass1_huffman(adj, n_nodes, p, node_base)
+    else:
+        ch = {node_base + i: int(choices[i]) for i in range(n_nodes)}
+    enc = HuffmanEncoder()
+    enc.build_tables(histograms)
+    w = BitWriter()
+    offsets, arcs = _pass2_huffman(adj, n_nodes, p, node_base, ch, enc, w)
+    return w.to_bytes(), offsets, arcs
+
+
+def headers_huffman(histograms):
+    """Parallel-export driver step: the header segment for the merged
+    histograms, as a (bytes, nbits) bitstream part."""
+    enc = HuffmanEncoder()
+    enc.build_tables(histograms)
+    w = BitWriter()
+    enc.write_headers(w)
+    return w.to_bytes(), w.written_bits
 
 
 class HuffBVGraphReader:
@@ -393,11 +452,29 @@ def load_huffgraph(basename: str) -> "HuffBVGraphReader":
 
 
 def edges_to_huffgraph(edges, basename: str, params=None,
-                       ef_offsets: bool = False):
-    """Edge DataFrame -> hybrid-Huffman files (driver-streamed
-    single-writer encode; aggregation/sorting distributed)."""
-    from webgraph_spark.bvgraph import driver_adjacency
+                       ef_offsets: bool = False,
+                       num_ranges: int | None = None):
+    """Edge DataFrame -> hybrid-Huffman files.
 
+    num_ranges=None: driver-streamed single-writer encode (small-graph
+    path; aggregation/sorting distributed). num_ranges=R>1: the
+    two-stage parallel export (bvgraph.parallel_entropy_export) —
+    distributed per-range histograms, one GLOBAL header from the merged
+    statistics, distributed per-range emission, driver bit-rebase."""
+    from webgraph_spark.bvgraph import (
+        driver_adjacency,
+        parallel_entropy_export,
+    )
+    from webgraph_spark.zuckerli import _HUFF_SECTIONS
+
+    if num_ranges and num_ranges > 1:
+        out = parallel_entropy_export(
+            edges, basename, params, ef_offsets, num_ranges,
+            range_histograms_huffman, encode_range_huffman,
+            headers_huffman, _HUFF_SECTIONS,
+        )
+        if out is not None:
+            return out
     it, n_nodes = driver_adjacency(edges)
     return store_huffgraph(it, n_nodes, basename, params,
                            ef_offsets=ef_offsets)

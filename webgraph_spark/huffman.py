@@ -100,11 +100,13 @@ class HuffmanEncoder:
         self._nbits: dict[int, list[int]] = {}
         self._bits: dict[int, list[int]] = {}
 
-    def init(self, per_context_values: list[list[int]], w: BitWriter) -> None:
-        """Pass-1 output: build each context's code from the token
-        histogram of its values and write all headers (in context
-        order) to the stream (ref huffman_encoder.rs:133-153)."""
-        for ctx, values in enumerate(per_context_values):
+    @staticmethod
+    def histograms(per_context_values: list[list[int]]) -> list[list[int]]:
+        """Per-context token histograms — the ONLY pass-1 statistic the
+        code construction needs, and therefore the unit that merges
+        across parallel encode ranges (plain elementwise sum)."""
+        out = []
+        for values in per_context_values:
             histo = [0] * K_NUM_SYMBOLS
             for v in values:
                 token = zuck_split(v, K_ZUCK, I_ZUCK, J_ZUCK)[0]
@@ -114,10 +116,24 @@ class HuffmanEncoder:
                     # sub-8-billion-node graph can produce
                     raise ValueError(f"value {v} exceeds the Huffman token range")
                 histo[token] += 1
-            nbits = compute_symbol_num_bits(histo)
+            out.append(histo)
+        return out
+
+    def build_tables(self, histograms) -> None:
+        """Deterministic histogram -> canonical-code tables; executors
+        rebuild identical tables from the broadcast merged histograms
+        (no code-table serialization needed)."""
+        for ctx, histo in enumerate(histograms):
+            nbits = compute_symbol_num_bits(list(histo))
             self._nbits[ctx] = nbits
             self._bits[ctx] = compute_symbol_bits(nbits)
-            # header: 8-bit max symbol, presence bit + 3-bit (len-1)
+
+    def write_headers(self, w: BitWriter) -> None:
+        """All context headers in context order (ref
+        huffman_encoder.rs:133-153): 8-bit max symbol, then presence
+        bit + 3-bit (len-1) per symbol."""
+        for ctx in range(len(self._nbits)):
+            nbits = self._nbits[ctx]
             ms = 0
             for s, nb in enumerate(nbits):
                 if nb > 0:
@@ -129,6 +145,13 @@ class HuffmanEncoder:
                     w.push_bits(nbits[s] - 1, 3)
                 else:
                     w.push_bits(0, 1)
+
+    def init(self, per_context_values: list[list[int]], w: BitWriter) -> None:
+        """Pass-1 output: build each context's code from the token
+        histogram of its values and write all headers (in context
+        order) to the stream (ref huffman_encoder.rs:133-153)."""
+        self.build_tables(self.histograms(per_context_values))
+        self.write_headers(w)
 
     def write_next(self, value: int, w: BitWriter, ctx: int) -> None:
         token, tail_bits, tail = zuck_split(value, K_ZUCK, I_ZUCK, J_ZUCK)

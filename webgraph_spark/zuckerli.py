@@ -202,15 +202,27 @@ def encode_graph_zuckerli(
     (node, sorted successors). Returns (stream, bit_offsets[n+1],
     params); bit_offsets[0] = end of the Huffman headers."""
     p = params or BVGraphParams()
+    adj = {node: list(succ) for node, succ in adjacency}
+    choices, values = _pass1_zuckerli(adj, n_nodes, p, node_base)
+    w = BitWriter()
+    enc = HuffmanEncoder()
+    enc.init(values, w)
+    offsets, arcs = _pass2_zuckerli(adj, n_nodes, p, node_base, choices, enc, w)
+    from dataclasses import replace
+
+    return w.to_bytes(), offsets, replace(p, nodes=n_nodes, arcs=arcs)
+
+
+def _pass1_zuckerli(adj: dict, n_nodes: int, p: BVGraphParams,
+                    node_base: int):
+    """Cost-model reference selection + per-context value collection
+    (deterministic; the parallel export replays it in both stages)."""
     if p.min_interval_len < 1:
         # min_interval_len doubles as the RLE zero-run threshold; at 0
         # the reference's encoder/decoder check orderings diverge — the
         # format is only defined for thresholds >= 1
         raise ValueError("zuckerli requires min_interval_len >= 1")
     cbs = p.window_size + 1
-    adj = {node: list(succ) for node, succ in adjacency}
-
-    # pass 1: cost-model reference selection + context collection
     win_list: list[list[int]] = [[] for _ in range(cbs)]
     win_ref_count = [0] * cbs
     choices: dict[int, int] = {}
@@ -242,14 +254,17 @@ def encode_graph_zuckerli(
         for kind, ctx, v in _node_values(node, succ, best_r, ref_list, p.min_interval_len):
             if kind == "huff":
                 values[ctx].append(v)
+    return choices, values
 
-    # headers + pass 2
-    w = BitWriter()
-    enc = HuffmanEncoder()
-    enc.init(values, w)
+
+def _pass2_zuckerli(adj: dict, n_nodes: int, p: BVGraphParams,
+                    node_base: int, choices, enc: HuffmanEncoder,
+                    w: BitWriter):
+    """Emission with prebuilt tables; headers are the caller's concern."""
+    cbs = p.window_size + 1
     offsets = []
     arcs = 0
-    win_list = [[] for _ in range(cbs)]
+    win_list: list[list[int]] = [[] for _ in range(cbs)]
     for node in range(node_base, node_base + n_nodes):
         succ = adj.get(node, [])
         arcs += len(succ)
@@ -265,9 +280,39 @@ def encode_graph_zuckerli(
                     w.write_unary(v)
         win_list[node % cbs] = succ
     offsets.append(w.written_bits)
-    from dataclasses import replace
+    return offsets, arcs
 
-    return w.to_bytes(), offsets, replace(p, nodes=n_nodes, arcs=arcs)
+
+def range_histograms_zuckerli(adjacency, n_nodes, p, node_base):
+    """Parallel-export stage 1: per-context token histograms for this
+    node range (window reset at the boundary), int64 [NUM_CONTEXTS,
+    256], plus the uint8 reference choices so stage 2 skips pass 1."""
+    adj = {node: list(succ) for node, succ in adjacency}
+    choices, values = _pass1_zuckerli(adj, n_nodes, p, node_base)
+    ch = np.fromiter(
+        (choices[node] for node in range(node_base, node_base + n_nodes)),
+        dtype=np.uint8,
+        count=n_nodes,
+    )
+    return np.asarray(HuffmanEncoder.histograms(values), dtype=np.int64), ch
+
+
+def encode_range_zuckerli(adjacency, n_nodes, p, node_base, histograms,
+                          choices=None):
+    """Parallel-export stage 2: headerless range stream with the global
+    tables rebuilt from the merged histograms. Returns
+    (stream_bytes, bit_offsets rel. 0, arcs); choices as in
+    encode_range_huffman."""
+    adj = {node: list(succ) for node, succ in adjacency}
+    if choices is None:
+        ch, _ = _pass1_zuckerli(adj, n_nodes, p, node_base)
+    else:
+        ch = {node_base + i: int(choices[i]) for i in range(n_nodes)}
+    enc = HuffmanEncoder()
+    enc.build_tables(histograms)
+    w = BitWriter()
+    offsets, arcs = _pass2_zuckerli(adj, n_nodes, p, node_base, ch, enc, w)
+    return w.to_bytes(), offsets, arcs
 
 
 class ZuckerliReader:
@@ -496,12 +541,36 @@ def load_zuckerli(basename: str) -> "ZuckerliReader":
 
 def edges_to_zuckerli(edges, basename: str,
                       params: BVGraphParams | None = None,
-                      ef_offsets: bool = False) -> BVGraphParams:
-    """Export an edge DataFrame to Zuckerli files (single-writer encode
-    streamed through the driver, like the reference's single-threaded
-    compressor; aggregation/sorting stays distributed)."""
-    from webgraph_spark.bvgraph import driver_adjacency
+                      ef_offsets: bool = False,
+                      num_ranges: int | None = None) -> BVGraphParams:
+    """Export an edge DataFrame to Zuckerli files.
 
+    num_ranges=None: single-writer encode streamed through the driver
+    (like the reference's single-threaded compressor; aggregation/
+    sorting stays distributed). num_ranges=R>1: the two-stage parallel
+    export (bvgraph.parallel_entropy_export) — distributed per-range
+    histograms, one GLOBAL header, distributed per-range emission."""
+    from webgraph_spark.bvgraph import (
+        driver_adjacency,
+        parallel_entropy_export,
+    )
+    from webgraph_spark.huffman import HuffmanEncoder
+
+    def _headers(histograms):
+        enc = HuffmanEncoder()
+        enc.build_tables(histograms)
+        w = BitWriter()
+        enc.write_headers(w)
+        return w.to_bytes(), w.written_bits
+
+    if num_ranges and num_ranges > 1:
+        out = parallel_entropy_export(
+            edges, basename, params, ef_offsets, num_ranges,
+            range_histograms_zuckerli, encode_range_zuckerli,
+            _headers, _HUFF_SECTIONS,
+        )
+        if out is not None:
+            return out
     it, n_nodes = driver_adjacency(edges)
     return store_zuckerli(it, n_nodes, basename, params, ef_offsets=ef_offsets)
 
