@@ -443,6 +443,28 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
+def _q_ann_planted(spark, sf_dir):
+    # r4 VERDICT #8: a driver-visible EXACT check of the LSH ANN path.
+    # Queries are planted copies of existing embedding rows (query_id =
+    # vec_id + 1e6, same vector): an identical vector hashes into the
+    # SAME bucket in every LSH table, so it is always a candidate, and
+    # the exact cosine re-rank must put it at rank 1 (cos=1.0 beats any
+    # non-identical vector with probability 1 on continuous data). The
+    # top-1 row is therefore deterministic and equals brute-force —
+    # the oracle computes the exact cosine argmax with the planted row
+    # eligible. Exercises signatures -> banding -> bucket join ->
+    # re-rank end-to-end with an exact oracle (k>1 would reintroduce
+    # approximation, so the contract pins k=1).
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return lsh_topk(emb, queries, dim=64, k=1).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -591,9 +613,14 @@ _EXTRA_QUERIES = {
     # lang_id_eval's oracle embeds the full lang_id SQL
     "lang_id",
     # rows-only by design (recall>=0.9 pytest-asserted on planted
-    # fixtures) — a no_oracle driver row adds no hard signal
+    # fixtures) — a no_oracle driver row adds no hard signal; the LSH
+    # path's driver-visible EXACT check is ann_planted_topk (r5)
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # 0 rows at the driver's sf0.01 (vacuous green); its oracle-checked
+    # twin embedding_neardup_pairs stays pytest-verified here too —
+    # the slot went to ann_planted_topk
+    "embedding_neardup_lsh",
 }
 
 # r3's driver window cut these off at slot 50 (event_sessions /
@@ -684,6 +711,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_brute_topk": _q_ann_topk,
+        "ann_planted_topk": _q_ann_planted,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal_decode,
@@ -790,6 +818,37 @@ SELECT query_id, neighbor_id,
        row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= 10
+"""
+
+
+def _ann_planted_sql() -> str:
+    """Exact cosine argmax with the planted identical row ELIGIBLE
+    (query_id = vec_id + 1e6, so no self-exclusion applies): the top-1
+    neighbor of each planted query is its source row, which the LSH
+    path must also find (identical vectors share every bucket)."""
+    return """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id
+), dots AS (
+  SELECT q.vec_id + 1000000 AS query_id, e.vec_id AS neighbor_id,
+         sum(q.v * e.v) AS dot
+  FROM el q JOIN el e ON q.i = e.i
+  WHERE q.vec_id % 97 = 0
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (nq.nrm * ne.nrm) AS cs
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id - 1000000
+  JOIN norms ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 1
 """
 
 
@@ -1153,6 +1212,7 @@ FROM documents""",
         "multimodal_resize": _MM_RESIZE_SQL,
         "multimodal_features": _MM_FEATURES_SQL,
         "ann_brute_topk": _ann_sql(),
+        "ann_planted_topk": _ann_planted_sql(),
         # the LSH variant's oracle is the EXACT pair predicate: banded
         # multi-table LSH at cos>=0.8 has recall ~1-5e-6 and the exact
         # cosine verify gives exact precision, so outputs coincide
