@@ -274,12 +274,32 @@ def main():
         decode_block_huff(hstream, hoffs, 0, n_g, houtp)
         dt = time.time() - t0
         tvh = dt if tvh is None else min(tvh, dt)
+    # Zuckerli partial-lockstep twin (decode_block_zuck, r5): ref=0
+    # lists vectorized, referenced lists scalar — vs the full scalar
+    # ZuckerliReader walk
+    from webgraph_spark.bvdecode import decode_block_zuck
+    from webgraph_spark.zuckerli import ZuckerliReader, encode_graph_zuckerli
+
+    zstream, zoffs, zoutp = encode_graph_zuckerli(adj, n_g)
+    tvz = None
+    for _ in range(3):
+        t0 = time.time()
+        decode_block_zuck(zstream, zoffs, 0, n_g, zoutp)
+        dt = time.time() - t0
+        tvz = dt if tvz is None else min(tvz, dt)
+    t0 = time.time()
+    for _x, _s in ZuckerliReader(zstream, zoffs, zoutp).iter_lists(0, n_g):
+        pass
+    tsz = time.time() - t0
     decode_bench = {
         "edges": int(m_g),
         "vectorized_edges_per_sec_core": round(m_g / tv, 1),
         "scalar_edges_per_sec_core": round(m_g / ts, 1),
         "speedup": round(ts / tv, 2),
         "huffman_vectorized_edges_per_sec_core": round(m_g / tvh, 1),
+        "zuckerli_vectorized_edges_per_sec_core": round(m_g / tvz, 1),
+        "zuckerli_scalar_edges_per_sec_core": round(m_g / tsz, 1),
+        "zuckerli_speedup": round(tsz / tvz, 2),
     }
     spark.stop()
 

@@ -160,3 +160,92 @@ def test_huff_empty_singleton_and_ref_chains():
     # all-below-node ids: zig-zag negatives in intervals + residuals
     _check_huff([(50, [1, 2, 3, 4, 5, 10, 20]),
                  (51, [1, 2, 3, 4, 5, 10, 20])], 60)
+
+
+# ---------------------------------------------------------------------------
+# Zuckerli partial-lockstep decoder (decode_block_zuck, r5)
+# ---------------------------------------------------------------------------
+
+
+def _check_zuck(adj, n, base=0, min_il=None):
+    from webgraph_spark.bvdecode import decode_block_zuck
+    from webgraph_spark.zuckerli import ZuckerliReader, encode_graph_zuckerli
+
+    p = BVGraphParams() if min_il is None else BVGraphParams(
+        min_interval_len=min_il
+    )
+    stream, offs, out = encode_graph_zuckerli(adj, n, p, node_base=base)
+    src, dst = decode_block_zuck(stream, offs, base, n, out)
+    reader = ZuckerliReader(stream, offs, out, node_base=base)
+    pos = 0
+    for x, succ in reader.iter_lists(base, base + n):
+        got = dst[pos: pos + len(succ)].tolist()
+        assert got == succ, f"node {x}: {got[:8]} != {succ[:8]}"
+        assert (src[pos: pos + len(succ)] == x).all()
+        pos += len(succ)
+    assert pos == len(dst) == out.arcs
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("base", [0, 4321])
+def test_zuck_matches_scalar_random(seed, base):
+    _check_zuck(_random_adj(250, 6, seed, base=base), 250, base=base)
+
+
+def test_zuck_rle_heavy_runs():
+    # long consecutive runs -> zero-delta chains -> RLE records; also
+    # runs whose length is exactly min_interval_len (RLE value 0)
+    rng = np.random.default_rng(7)
+    adj = []
+    for x in range(400):
+        succ = set()
+        if rng.random() < 0.9:
+            st = int(rng.integers(0, 350))
+            succ |= set(range(st, st + int(rng.integers(4, 40))))
+        succ |= set(rng.integers(0, 400, int(rng.integers(0, 5))).tolist())
+        if succ:
+            adj.append((x, sorted(succ)))
+    _check_zuck(adj, 400)
+    # exact-threshold runs with default min_interval_len=4: a run of 5
+    # consecutive values = 4 zero deltas = RLE(0) after the threshold
+    _check_zuck([(0, list(range(10, 15))), (1, list(range(10, 15)))], 4)
+
+
+def test_zuck_reference_interleave_scalar_path():
+    # strong locality forces copy-interleaved referenced lists: those
+    # must route through the scalar path resolving targets from the
+    # already-final lockstep output
+    rng = np.random.default_rng(9)
+    adj = []
+    for x in range(500):
+        succ = set(
+            int(v)
+            for v in np.clip(x + rng.integers(-15, 16, rng.integers(1, 12)),
+                             0, 499)
+        )
+        if rng.random() < 0.5:
+            succ |= set(range(x, min(x + int(rng.integers(4, 20)), 500)))
+        adj.append((x, sorted(succ)))
+    _check_zuck(adj, 500)
+
+
+def test_zuck_hub_scalar_tail_mid_chain():
+    # the lockstep tail handoff must resume mid-chain (last-delta ctx,
+    # zero-run counter, RLE skip budget all live state)
+    rng = np.random.default_rng(13)
+    hub = sorted(set(rng.integers(0, 100000, 20000).tolist())
+                 | set(range(5000, 5600)))
+    adj = [(0, hub)] + [
+        (x, sorted(set(rng.integers(0, 100000, 5).tolist())))
+        for x in range(1, 40)
+    ]
+    _check_zuck(adj, 40)
+
+
+def test_zuck_empty_singleton_and_chains():
+    _check_zuck([(1, [5]), (4, list(range(8)))], 10)
+    _check_zuck([], 5)
+    lst = sorted({3, 9, 17, 40, 41, 42, 43, 44, 80, 99})
+    _check_zuck([(x, lst) for x in range(30)], 30)
+    _check_zuck([(50, [1, 2, 3, 4, 5, 10, 20]),
+                 (51, [1, 2, 3, 4, 5, 10, 20])], 60)

@@ -268,6 +268,47 @@ class _BVCodes:
                       scalar_run=tail)
 
 
+def _huff_luts(stream: bytes, num_contexts: int):
+    """Decode the stream's canonical-Huffman headers into 256-entry
+    (symbol, length) LUTs per context — codes are capped at 8 bits
+    (huffman.K_MAX_HUFFMAN_BITS), so one gather on the window's top
+    byte decodes any code. Shared by the hybrid-Huffman and Zuckerli
+    lockstep decoders (both formats carry the same header layout)."""
+    from webgraph_spark.huffman import HuffmanDecoder
+
+    r = BitReader(stream)
+    dec = HuffmanDecoder()
+    dec.decode_headers(r, num_contexts)
+    SYM = np.full((num_contexts, 256), -1, dtype=np.int16)
+    LEN = np.zeros((num_contexts, 256), dtype=np.int16)
+    for ctx, tbl in dec.tables.items():
+        for (ln, code), sym in tbl.items():
+            base = code << (8 - ln)
+            SYM[ctx, base: base + (1 << (8 - ln))] = sym
+            LEN[ctx, base: base + (1 << (8 - ln))] = ln
+    return dec, SYM, LEN
+
+
+def _huff_read(vb: _VecBits, SYM, LEN, P, ctx):
+    """One LUT canonical-Huffman code + Zuckerli tail per element from
+    one gathered 64-bit window; returns (values, positions-after)."""
+    w = vb._window(P)
+    top = (w >> np.uint64(56)).astype(np.int64)
+    sym = SYM[ctx, top].astype(np.int64)
+    if sym.size and int(sym.min()) < 0:
+        raise ValueError("malformed Huffman code in block stream")
+    ln = LEN[ctx, top].astype(np.int64)
+    small = sym < 16
+    nb = np.where(small, 0, 1 + ((sym - 16) >> 3))
+    total = (ln + nb).astype(np.uint64)
+    tail = (
+        (w >> (np.uint64(64) - total))
+        & ((_U1 << nb.astype(np.uint64)) - _U1)
+    ).astype(np.int64)
+    big = ((((4 | ((sym >> 1) & 3)) << nb) | tail) << 1) | (sym & 1)
+    return np.where(small, sym, big), P + ln + nb
+
+
 class _HuffCodes:
     """Section readers for the hybrid Huffman-BVGraph stream.
 
@@ -283,39 +324,13 @@ class _HuffCodes:
 
     def __init__(self, vb: _VecBits, stream: bytes) -> None:
         from webgraph_spark import bvgraph_huffman as bh
-        from webgraph_spark.huffman import HuffmanDecoder
 
         self.vb = vb
         self.bh = bh
-        r = BitReader(stream)
-        dec = HuffmanDecoder()
-        dec.decode_headers(r, bh.NUM_CONTEXTS)
-        self.dec = dec
-        SYM = np.full((bh.NUM_CONTEXTS, 256), -1, dtype=np.int16)
-        LEN = np.zeros((bh.NUM_CONTEXTS, 256), dtype=np.int16)
-        for ctx, tbl in dec.tables.items():
-            for (ln, code), sym in tbl.items():
-                base = code << (8 - ln)
-                SYM[ctx, base: base + (1 << (8 - ln))] = sym
-                LEN[ctx, base: base + (1 << (8 - ln))] = ln
-        self.SYM, self.LEN = SYM, LEN
+        self.dec, self.SYM, self.LEN = _huff_luts(stream, bh.NUM_CONTEXTS)
 
     def _huff(self, P, ctx):
-        w = self.vb._window(P)
-        top = (w >> np.uint64(56)).astype(np.int64)
-        sym = self.SYM[ctx, top].astype(np.int64)
-        if sym.size and int(sym.min()) < 0:
-            raise ValueError("malformed Huffman code in block stream")
-        ln = self.LEN[ctx, top].astype(np.int64)
-        small = sym < 16
-        nb = np.where(small, 0, 1 + ((sym - 16) >> 3))
-        total = (ln + nb).astype(np.uint64)
-        tail = (
-            (w >> (np.uint64(64) - total))
-            & ((_U1 << nb.astype(np.uint64)) - _U1)
-        ).astype(np.int64)
-        big = ((((4 | ((sym >> 1) & 3)) << nb) | tail) << 1) | (sym & 1)
-        return np.where(small, sym, big), P + ln + nb
+        return _huff_read(self.vb, self.SYM, self.LEN, P, ctx)
 
     def outdegrees(self, P, nodes):
         pos32 = nodes % 32
@@ -597,5 +612,216 @@ def _drive(vb, codes, bit_offsets, node_lo: int, n_nodes: int,
         else:
             order = np.lexsort((vals, nid))
         dst[_slices_flat(lv, out_starts[:-1], deg)] = vals[order]
+    src = np.repeat(nodes, deg)
+    return src, dst
+
+
+# ---------------------------------------------------------------------------
+# Zuckerli partial-lockstep decode (r4 VERDICT #6)
+# ---------------------------------------------------------------------------
+#
+# Zuckerli's copy-interleaved residual deltas depend on the reference
+# cursor PER VALUE, so referenced lists have no lockstep formulation —
+# but reference=0 lists (the majority in natural order) are plain
+# chained-context residual streams with RLE zero-runs, and those decode
+# in lockstep: per-lane state = (first?, last-delta chain key,
+# contiguous-zero counter, RLE skip budget, running destination). Each
+# step advances every active lane by ONE residual: lanes inside an RLE
+# run write without reading, the rest decode one LUT code, and lanes
+# whose zero counter hits min_interval_len take a masked second read
+# for the run length — exactly ZuckerliReader._read_list's semantics
+# (zuckerli.py:375-461, ref zuckerli_in.rs:727-907), verified
+# bit-for-bit by tests/test_bvdecode.py. Referenced lists fall back to
+# the scalar reader with already-decoded lists resolved from the
+# vectorized output (no duplicate decode).
+
+
+def _zuck_res_lockstep(vb, SYM, LEN, dec, P, degs, nodes, zk, min_il,
+                       tail_threshold: int = 128):
+    """Residual streams of reference=0 records, all lanes in lockstep.
+
+    Returns (flat residual values ordered by (lane, j), positions-after
+    per lane). degs[i] = number of residuals (== outdegree) of lane i.
+    """
+    RES = zk.RESIDUALS_BASE_CTX
+    RLE = zk.RLE_CTX
+    total = int(degs.sum())
+    out = np.empty(total, dtype=np.int64)
+    starts = _seg_starts(degs)
+    newP = P.copy()
+
+    # longest-first: fixed per-lane quotas finish in suffix order, so
+    # the active set stays a prefix slice (same discipline as _VecBits.run)
+    order = np.argsort(-degs, kind="stable")
+    pos = P[order].astype(np.int64)
+    rem = degs[order].copy()
+    cur = starts[order].copy()
+    node_o = nodes[order]
+    fctx = (
+        zk.FIRST_RESIDUAL_BASE_CTX
+        + np.minimum(_token_vec(degs), zk.NUM_FIRST_RESIDUAL_CTX - 1)
+    )[order]
+    first = np.ones(order.size, dtype=bool)
+    last_delta = np.zeros(order.size, dtype=np.int64)
+    czeros = np.zeros(order.size, dtype=np.int64)
+    skip = np.zeros(order.size, dtype=np.int64)
+    run_dest = np.zeros(order.size, dtype=np.int64)  # last_dest_plus_one
+
+    def _scalar_tail(j):
+        """Finish lane j from its mid-stream state (same loop, scalar)."""
+        r = vb.scalar
+        r.position(int(pos[j]))
+        f, ld = bool(first[j]), int(last_delta[j])
+        cz, sk, rd = int(czeros[j]), int(skip[j]), int(run_dest[j])
+        x = int(node_o[j])
+        vals = []
+        for _ in range(int(rem[j])):
+            if f:
+                ld = dec.read_next(r, int(fctx[j]))
+                dest = x + int(_nat2int(np.array([ld]))[0])
+                f = False
+            elif sk > 0:
+                ld = 0
+                dest = rd
+            else:
+                c = RES + min(int(_token_vec(np.array([ld]))[0]),
+                              zk.NUM_RESIDUAL_CTX - 1)
+                ld = dec.read_next(r, c)
+                dest = rd + ld
+            if ld == 0 and sk == 0:
+                cz += 1
+            else:
+                cz = 0
+            if sk > 0:
+                sk -= 1
+            if cz >= min_il:
+                sk = dec.read_next(r, RLE)
+                cz = 0
+            vals.append(dest)
+            rd = dest + 1
+        out[cur[j]: cur[j] + rem[j]] = vals
+        newP[order[j]] = r.pos
+
+    n = pos.size
+    while n:
+        if n < tail_threshold:
+            for j in range(n):
+                _scalar_tail(j)
+            n = 0
+            break
+        sk0 = skip[:n] == 0
+        rd = np.flatnonzero(sk0)
+        dest = run_dest[:n].copy()  # skip lanes: dest = last_dest_plus_one
+        if rd.size:
+            ctx = np.where(
+                first[:n][rd],
+                fctx[:n][rd],
+                RES + np.minimum(_token_vec(last_delta[:n][rd]),
+                                 zk.NUM_RESIDUAL_CTX - 1),
+            )
+            v, p2 = _huff_read(vb, SYM, LEN, pos[rd], ctx)
+            pos[rd] = p2
+            dest[rd] = np.where(
+                first[:n][rd],
+                node_o[:n][rd] + _nat2int(v),
+                run_dest[:n][rd] + v,
+            )
+            last_delta[rd] = v
+        # zero-run bookkeeping (scalar order: czeros, then skip decrement,
+        # then the RLE read)
+        iszero = np.zeros(n, dtype=bool)
+        if rd.size:
+            iszero[rd] = last_delta[rd] == 0
+        czeros[:n] = np.where(iszero & sk0, czeros[:n] + 1, 0)
+        skip[:n] = np.maximum(skip[:n] - 1, 0)
+        last_delta[:n][~sk0] = 0
+        first[:n] = False
+        rle = np.flatnonzero(czeros[:n] >= min_il)
+        if rle.size:
+            v2, p3 = _huff_read(
+                vb, SYM, LEN, pos[rle], np.full(rle.size, RLE, dtype=np.int64)
+            )
+            skip[rle] = v2
+            czeros[rle] = 0
+            pos[rle] = p3
+        out[cur[:n]] = dest
+        run_dest[:n] = dest + 1
+        cur[:n] += 1
+        rem[:n] -= 1
+        while n > 0 and rem[n - 1] == 0:
+            newP[order[n - 1]] = pos[n - 1]
+            n -= 1
+    return out, newP
+
+
+def decode_block_zuck(stream: bytes, bit_offsets, node_lo: int,
+                      n_nodes: int, params: BVGraphParams | None = None):
+    """Decode one Zuckerli block -> (src, dst) int64 arrays.
+
+    Partial lockstep: reference=0 lists ride _zuck_res_lockstep;
+    referenced lists decode scalar in ascending node order with their
+    targets resolved from the already-final output (each list decodes
+    exactly once)."""
+    from webgraph_spark import zuckerli as zk
+
+    p = params or BVGraphParams()
+    vb = _VecBits(stream)
+    dec, SYM, LEN = _huff_luts(stream, zk.NUM_CONTEXTS)
+    offs = np.asarray(bit_offsets, dtype=np.int64)[:n_nodes]
+    nodes = node_lo + np.arange(n_nodes, dtype=np.int64)
+
+    # headers: degree (node-position context), reference (unary)
+    pos32 = nodes % 32
+    dctx = np.where(
+        pos32 == 0,
+        zk.FIRST_DEGREE_CTX,
+        zk.DEGREE_BASE_CTX
+        + np.minimum(_token_vec(pos32), zk.NUM_DEGREE_CTX - 1),
+    )
+    deg, P = _huff_read(vb, SYM, LEN, offs, dctx)
+    ref = np.zeros(n_nodes, dtype=np.int64)
+    nz = np.flatnonzero(deg > 0)
+    if nz.size:
+        ref[nz], P[nz] = vb.unary(P[nz])
+
+    out_starts = np.concatenate(
+        [np.zeros(1, dtype=np.int64), np.cumsum(deg)]
+    )
+    dst = np.empty(int(deg.sum()), dtype=np.int64)
+
+    lv = np.flatnonzero((ref == 0) & (deg > 0))
+    if lv.size:
+        vals, _ = _zuck_res_lockstep(
+            vb, SYM, LEN, dec, P[lv], deg[lv], nodes[lv], zk,
+            p.min_interval_len,
+        )
+        idx = np.repeat(out_starts[lv], deg[lv]) + _seg_arange(deg[lv])
+        dst[idx] = vals
+
+    rv = np.flatnonzero(ref > 0)
+    if rv.size:
+        reader = zk.ZuckerliReader.__new__(zk.ZuckerliReader)
+        reader.reader = BitReader(stream)
+        reader.offsets = np.concatenate([offs, np.zeros(1, dtype=np.int64)])
+        reader.p = p
+        reader.node_base = node_lo
+        reader.huff = dec
+
+        def resolve(y: int):
+            i = y - node_lo
+            if ref[i] == 0 or i not in pending:
+                lst = dst[out_starts[i]: out_starts[i + 1]].tolist()
+                return len(lst), lst
+            raise ValueError("reference target decoded after its user")
+
+        pending = set(int(i) for i in rv)
+        for i in rv:  # ascending: targets (y < x) are always final
+            x = int(node_lo + i)
+            r = reader.reader.fork()
+            r.position(int(offs[i]))
+            lst = reader._read_list(x, r, resolve)
+            dst[out_starts[i]: out_starts[i + 1]] = lst
+            pending.discard(int(i))
+
     src = np.repeat(nodes, deg)
     return src, dst

@@ -425,9 +425,17 @@ def build_csr_zuck(edges: DataFrame, num_blocks: int | None = None) -> DataFrame
 
 
 def decode_csr_zuck(blocks: DataFrame) -> DataFrame:
-    """Inverse of build_csr_zuck (distributed, block-local decode)."""
+    """Inverse of build_csr_zuck (distributed, block-local decode).
+
+    Routes through the PARTIAL lockstep decoder (bvdecode.
+    decode_block_zuck, r4 VERDICT #6): reference=0 lists — the
+    majority in natural order — decode in numpy lockstep (RLE zero-runs
+    as per-lane skip budgets); only referenced lists take the scalar
+    path, with their targets resolved from the already-final vectorized
+    output. ZuckerliReader remains the reference implementation and
+    the random-access serving path."""
+    from webgraph_spark.bvdecode import decode_block_zuck
     from webgraph_spark.bvgraph import BVGraphParams
-    from webgraph_spark.zuckerli import ZuckerliReader
 
     def _unpack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -435,19 +443,15 @@ def decode_csr_zuck(blocks: DataFrame) -> DataFrame:
             for i in range(b.num_rows):
                 lo = d["node_lo"][i]
                 n = d["n_nodes"][i]
-                reader = ZuckerliReader(
+                src, dst = decode_block_zuck(
                     d["stream"][i],
                     d["bit_offsets"][i],
+                    lo,
+                    n,
                     BVGraphParams(nodes=n, arcs=d["n_edges"][i]),
-                    node_base=lo,
                 )
-                srcs, dsts = [], []
-                for x, succ in reader.iter_lists(lo, lo + n):
-                    srcs.extend([x] * len(succ))
-                    dsts.extend(succ)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(srcs, pa.int64()), pa.array(dsts, pa.int64())],
-                    names=["src", "dst"],
+                    [pa.array(src), pa.array(dst)], names=["src", "dst"]
                 )
 
     return blocks.mapInArrow(_unpack, schema="src long, dst long")
