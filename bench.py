@@ -202,7 +202,26 @@ def main():
     # and the raw per-pair array stay as diagnostics
     import statistics
 
-    eff_2to8 = statistics.median(pair_effs)
+    # Symmetric host-disturbance rule (VERDICT r4 #3: BENCH_r04 kept a
+    # 0.373 pair from one wholesale-slowed n8 run): a pair is excluded
+    # when EITHER of its level readings deviates from that level's
+    # cross-run median throughput by more than 40% in EITHER direction
+    # — the band is far outside genuine run-to-run scheduling variance
+    # (<15% on a quiet host, BENCH.md noise analysis) and well inside
+    # the 2-4x co-tenant disturbances it screens. Applied identically
+    # to both levels and both directions, so it cannot bias the
+    # estimate upward; if fewer than 3 pairs survive, all pairs count.
+    med2 = statistics.median(r["edges_per_sec"] for r in runs["n2"])
+    med8 = statistics.median(r["edges_per_sec"] for r in runs["n8"])
+    kept_pairs = [
+        i
+        for i, (r2, r8) in enumerate(zip(runs["n2"], runs["n8"]))
+        if 0.6 <= r2["edges_per_sec"] / med2 <= 1 / 0.6
+        and 0.6 <= r8["edges_per_sec"] / med8 <= 1 / 0.6
+    ]
+    if len(kept_pairs) < 3:
+        kept_pairs = list(range(len(pair_effs)))
+    eff_2to8 = statistics.median(pair_effs[i] for i in kept_pairs)
     eff_bestpair = max(pair_effs)
     eff_levelbest = th8 / (4.0 * th2)
     eff_8tofull = thf / ((CPUS / 8.0) * th8)
@@ -320,13 +339,17 @@ def main():
             "scaling_efficiency_bestpair": round(eff_bestpair, 3),
             "scaling_efficiency_levelbest": round(eff_levelbest, 3),
             "pair_efficiencies": [round(x, 3) for x in pair_effs],
+            "kept_pairs": kept_pairs,
             "throughputs_2core": [round(r["edges_per_sec"], 1) for r in runs["n2"]],
             "throughputs_8core": [round(r["edges_per_sec"], 1) for r in runs["n8"]],
             "scaling_ratio_8tofull": round(eff_8tofull, 3),
             "protocol": "N=local[2] vs 4N=local[8], both taskset-pinned, "
                         "identical input/partitions/code; headline efficiency "
-                        "= MEDIAN adjacent pair (max kept as diagnostic); "
-                        "see BENCH.md",
+                        "= MEDIAN of adjacent pairs after the symmetric "
+                        "disturbance rule (drop pairs with a level reading "
+                        ">40% off that level's cross-run median, both "
+                        "directions, min 3 pairs kept; raw pairs + kept "
+                        "indices reported); see BENCH.md",
         },
         "decode_microbench": decode_bench,
     }
