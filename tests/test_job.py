@@ -179,6 +179,30 @@ def test_job_stream_degrees_resumes_from_checkpoint(spark, tmp_path):
     } == {(1, 3), (2, 1), (3, 1)}
 
 
+def test_job_export_file_families(spark, tmp_path):
+    """r5: the parallel file-family export on the job surface — encode
+    the derived edges as a trio in parallel ranges, then prove the
+    distributed decode returns every arc."""
+    from webgraph_spark import job
+    from webgraph_spark.bvgraph import load_bvgraph
+
+    for fmt in ("bvgraph", "zuckerli"):
+        out = str(tmp_path / f"eo_{fmt}")
+        s = job.run([
+            "--algorithm", "export", "--export-format", fmt,
+            "--export-ranges", "8", "--synth-files", "60",
+            "--checkpoint-dir", str(tmp_path / f"ec_{fmt}"),
+            "--output", out, "--master", "local[8]",
+        ])
+        assert s["decode_matches"], s
+        assert s["n_arcs"] == s["decoded_edges"] > 0
+        assert os.path.exists(s["basename"] + ".properties")
+    # the BV trio is also loadable by the pure-python random-access path
+    g = load_bvgraph(os.path.join(str(tmp_path / "eo_bvgraph"),
+                                  "bvgraph", "graph"))
+    assert g.num_nodes == s["n_nodes"] or g.num_nodes > 0
+
+
 def test_job_stream_degrees_derived_seed_rerun_is_idempotent(spark, tmp_path):
     """r4 ADVICE: with --stream-input omitted the mode seeds derived
     edges into <output>/stream_input; a crash re-run with identical args

@@ -37,7 +37,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--algorithm", required=True,
                    choices=["pagerank", "pagerank_csr", "components", "labelprop",
                             "triangles", "build", "dedup", "order", "hyperball",
-                            "stream_degrees"])
+                            "stream_degrees", "export"])
+    p.add_argument("--export-format", default="bvgraph",
+                   choices=["bvgraph", "huffgraph", "zuckerli"],
+                   help="file family for --algorithm export")
+    p.add_argument("--export-ranges", type=int, default=None,
+                   help="parallel encode ranges for --algorithm export "
+                        "(default: shuffle partitions; 1 = single-writer)")
+    p.add_argument("--ef-offsets", action="store_true",
+                   help="persist Elias-Fano .offsets.ef instead of "
+                        "gamma-gap .offsets on export")
     p.add_argument("--stream-input", default=None,
                    help="edge-stream directory for --algorithm "
                         "stream_degrees: every parquet file appearing "
@@ -132,6 +141,60 @@ def run(argv: list[str]) -> dict:
         with open(os.path.join(args.output, "summary.json"), "w") as f:
             json.dump(summary, f)
         clusters.unpersist()
+        return summary
+
+    if args.algorithm == "export":
+        # file-family export surface: derived edges -> a BVGraph /
+        # hybrid-Huffman / Zuckerli trio under <output>/<format>/graph,
+        # encoded in parallel node ranges (r5; window reset at range
+        # boundaries, global entropy header from merged histograms) and
+        # verified by a distributed decode-and-count before reporting.
+        from webgraph_spark.bvgraph import bvgraph_to_edges, edges_to_bvgraph
+        from webgraph_spark.bvgraph_huffman import (
+            edges_to_huffgraph,
+            huffgraph_to_edges,
+        )
+        from webgraph_spark.zuckerli import edges_to_zuckerli, zuckerli_to_edges
+
+        exporters = {
+            "bvgraph": (edges_to_bvgraph, bvgraph_to_edges),
+            "huffgraph": (edges_to_huffgraph, huffgraph_to_edges),
+            "zuckerli": (edges_to_zuckerli, zuckerli_to_edges),
+        }
+        export_fn, load_fn = exporters[args.export_format]
+        _, edges = build_graph(sources)
+        edges = edges.persist()
+        n_edges = edges.count()
+        ranges = args.export_ranges or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        out_dir = os.path.join(args.output, args.export_format)
+        os.makedirs(out_dir, exist_ok=True)
+        base = os.path.join(out_dir, "graph")
+        t_enc = time.time()
+        out = export_fn(edges, base, num_ranges=ranges,
+                        ef_offsets=args.ef_offsets)
+        enc_sec = time.time() - t_enc
+        decoded = int(load_fn(spark, base).count())
+        summary = {
+            "algorithm": "export",
+            "format": args.export_format,
+            "basename": base,
+            "num_ranges": int(ranges),
+            "n_nodes": int(out.nodes),
+            "n_arcs": int(out.arcs),
+            "input_edges": int(n_edges),
+            "decoded_edges": decoded,
+            "decode_matches": decoded == out.arcs,
+            "graph_bytes": os.path.getsize(base + ".graph"),
+            "encode_sec": round(enc_sec, 3),
+            "wall_sec": round(time.time() - t0, 3),
+            "resumed": False,
+        }
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f)
+        edges.unpersist()
         return summary
 
     if args.algorithm == "stream_degrees":
