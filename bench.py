@@ -148,6 +148,49 @@ def _measure_subprocess(master: str, parts: int, n_nodes: int, n_edges: int,
     raise RuntimeError(f"measurement failed: {out.stderr[-2000:]}")
 
 
+def scaling_estimate(tp_n2: list[float], tp_n8: list[float]) -> dict:
+    """Median adjacent-pair efficiency with the symmetric
+    host-disturbance screen. Pure function so the rule is unit-testable
+    (tests/test_bench_rules.py) and auditable against recorded artifacts.
+
+    Efficiency comes from ADJACENT (N, 4N) pairs: the runs alternate
+    levels precisely so each pair shares temporally-local host
+    conditions (co-tenant load on this VM varies on a minutes scale,
+    BENCH.md noise analysis). Best-of-per-level can pair a lucky N
+    reading with an unlucky 4N reading taken ~20 min apart, which
+    measures the noise band, not the plan's scaling.
+
+    Headline = MEDIAN of pairs (ADVICE r3: max() is upward-biased).
+    Symmetric disturbance rule (VERDICT r4 #3: BENCH_r04 kept a 0.373
+    pair from one wholesale-slowed n8 run): a pair is excluded when
+    EITHER of its level readings deviates from that level's cross-run
+    median throughput by more than 40% in EITHER direction — far
+    outside genuine run-to-run scheduling variance (<15% on a quiet
+    host), well inside the 2-4x co-tenant disturbances it screens.
+    Applied identically to both levels and both directions, so it
+    cannot bias the estimate upward; if fewer than 3 pairs survive,
+    all pairs count.
+    """
+    import statistics
+
+    pair_effs = [t8 / (4.0 * t2) for t2, t8 in zip(tp_n2, tp_n8)]
+    med2 = statistics.median(tp_n2)
+    med8 = statistics.median(tp_n8)
+    kept = [
+        i
+        for i, (t2, t8) in enumerate(zip(tp_n2, tp_n8))
+        if 0.6 <= t2 / med2 <= 1 / 0.6 and 0.6 <= t8 / med8 <= 1 / 0.6
+    ]
+    if len(kept) < 3:
+        kept = list(range(len(pair_effs)))
+    return {
+        "pair_efficiencies": pair_effs,
+        "kept_pairs": kept,
+        "median_eff": statistics.median(pair_effs[i] for i in kept),
+        "bestpair_eff": max(pair_effs),
+    }
+
+
 def main():
     t_start = time.time()
 
@@ -185,44 +228,14 @@ def main():
     m = best["n2"]["edges"]
     th2, th8 = best["n2"]["edges_per_sec"], best["n8"]["edges_per_sec"]
     thf = best["full"]["edges_per_sec"]
-    # Efficiency from ADJACENT (N, 4N) pairs: the runs alternate levels
-    # precisely so each pair shares temporally-local host conditions
-    # (co-tenant load on this VM varies on a minutes scale, BENCH.md
-    # noise analysis). Best-of-per-level can pair a lucky N reading
-    # with an unlucky 4N reading taken ~20 min apart, which measures
-    # the noise band, not the plan's scaling. The least-contended pair
-    # is the steady-state estimator, same convention as min-superstep.
-    pair_effs = [
-        r8["edges_per_sec"] / (4.0 * r2["edges_per_sec"])
-        for r2, r8 in zip(runs["n2"], runs["n8"])
-    ]
-    # headline = MEDIAN of adjacent pairs (ADVICE r3: max() is
-    # upward-biased — one-sided noise slowing only a pair's n2 run
-    # inflates that pair's ratio above the true efficiency); the max
-    # and the raw per-pair array stay as diagnostics
-    import statistics
-
-    # Symmetric host-disturbance rule (VERDICT r4 #3: BENCH_r04 kept a
-    # 0.373 pair from one wholesale-slowed n8 run): a pair is excluded
-    # when EITHER of its level readings deviates from that level's
-    # cross-run median throughput by more than 40% in EITHER direction
-    # — the band is far outside genuine run-to-run scheduling variance
-    # (<15% on a quiet host, BENCH.md noise analysis) and well inside
-    # the 2-4x co-tenant disturbances it screens. Applied identically
-    # to both levels and both directions, so it cannot bias the
-    # estimate upward; if fewer than 3 pairs survive, all pairs count.
-    med2 = statistics.median(r["edges_per_sec"] for r in runs["n2"])
-    med8 = statistics.median(r["edges_per_sec"] for r in runs["n8"])
-    kept_pairs = [
-        i
-        for i, (r2, r8) in enumerate(zip(runs["n2"], runs["n8"]))
-        if 0.6 <= r2["edges_per_sec"] / med2 <= 1 / 0.6
-        and 0.6 <= r8["edges_per_sec"] / med8 <= 1 / 0.6
-    ]
-    if len(kept_pairs) < 3:
-        kept_pairs = list(range(len(pair_effs)))
-    eff_2to8 = statistics.median(pair_effs[i] for i in kept_pairs)
-    eff_bestpair = max(pair_effs)
+    est = scaling_estimate(
+        [r["edges_per_sec"] for r in runs["n2"]],
+        [r["edges_per_sec"] for r in runs["n8"]],
+    )
+    pair_effs = est["pair_efficiencies"]
+    kept_pairs = est["kept_pairs"]
+    eff_2to8 = est["median_eff"]
+    eff_bestpair = est["bestpair_eff"]
     eff_levelbest = th8 / (4.0 * th2)
     eff_8tofull = thf / ((CPUS / 8.0) * th8)
 
