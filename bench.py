@@ -333,6 +333,35 @@ def main():
         "zuckerli_scalar_edges_per_sec_core": round(m_g / tsz, 1),
         "zuckerli_speedup": round(tsz / tvz, 2),
     }
+
+    # --- random-access serving microbench (reference's headline KPI:
+    # ns per uniform-random successors(x) query, main.rs:70-121) ------
+    from webgraph_spark.codec import adjacency_byte_offsets, encode_adjacency
+    from webgraph_spark.local_index import BvLocalIndex, CsrLocalIndex
+
+    counts_all = np.zeros(n_g, dtype=np.int64)
+    counts_all[src_np[starts_]] = ends_ - starts_
+    nodes_all = np.arange(n_g, dtype=np.int64)
+    dst64 = dst_np.astype(np.int64)
+    vrow = {
+        "node_lo": 0, "node_hi": n_g - 1, "n_edges": m_g,
+        "indptr": np.concatenate([[0], np.cumsum(counts_all)]),
+        "byte_offsets": adjacency_byte_offsets(nodes_all, counts_all, dst64),
+        "indices": encode_adjacency(nodes_all, counts_all, dst64),
+    }
+    bvrow = {
+        "node_lo": 0, "node_hi": n_g - 1, "n_nodes": n_g,
+        "n_edges": m_g, "stream": stream, "bit_offsets": offs,
+    }
+    ra_varint = CsrLocalIndex([vrow]).bench_random_queries(200_000)
+    ra_bv = BvLocalIndex([bvrow]).bench_random_queries(200_000)
+    random_access = {
+        "n_queries": 200_000,
+        "varint_point_ns": ra_varint["point_ns_per_query"],
+        "varint_batch_ns": ra_varint["batch_ns_per_query"],
+        "bv_point_ns": ra_bv["point_ns_per_query"],
+        "bv_batch_ns": ra_bv["batch_ns_per_query"],
+    }
     spark.stop()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -365,6 +394,7 @@ def main():
                         "indices reported); see BENCH.md",
         },
         "decode_microbench": decode_bench,
+        "random_access": random_access,
     }
     print(json.dumps(out))
 

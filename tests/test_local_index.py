@@ -121,6 +121,38 @@ def test_bv_local_index_matches_csr_index(spark, small_graph):
     assert stats["compressed_bytes_per_edge"] > 0
 
 
+def test_bv_index_batch_matches_point(spark, small_graph):
+    """The entropy-coded serving path answers bulk random access
+    (lockstep whole-block decode + slice) identically to the scalar
+    per-query readers, for all three codec families — including
+    out-of-range ids and zero-outdegree nodes."""
+    from webgraph_spark.csr import build_csr_bv, build_csr_huff, build_csr_zuck
+    from webgraph_spark.local_index import BvLocalIndex
+
+    edges, n, src, dst = small_graph
+    for build, codec in (
+        (build_csr_bv, "bv"),
+        (build_csr_huff, "huffman"),
+        (build_csr_zuck, "zuckerli"),
+    ):
+        k = BvLocalIndex.from_blocks(build(edges, num_blocks=8), codec=codec)
+        rng = np.random.default_rng(17)
+        xs = np.concatenate([
+            rng.integers(0, n, size=1500),
+            [0, n - 1, n, n + 50],  # incl. out-of-range
+        ]).astype(np.int64)
+        counts, flat = k.batch_successors(xs)
+        pos = 0
+        for i, x in enumerate(xs):
+            want = k.successors(int(x))
+            assert counts[i] == want.size, (codec, x)
+            assert np.array_equal(flat[pos:pos + counts[i]], want), (codec, x)
+            assert np.array_equal(k.successors_cached(int(x)), want), (codec, x)
+            pos += counts[i]
+        stats = k.bench_random_queries(n_queries=2_000)
+        assert stats["batch_ns_per_query"] > 0
+
+
 def test_entropy_codec_indexes_match_csr_index(spark, small_graph):
     """The huffman and zuckerli block codecs serve point queries through
     the same BvLocalIndex surface, identically to the varint truth."""

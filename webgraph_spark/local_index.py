@@ -158,6 +158,25 @@ class CsrLocalIndex:
             cnt = (self._at(ip, k + 1) - self._at(ip, k)).astype(np.int64)
             orig_idx = order[sel]
             counts[orig_idx] = cnt
+            # dense query sets re-decode the same lists many times under
+            # the per-segment gather below; once the queries cover a
+            # meaningful fraction of the block (or the block is already
+            # decoded), one memoized whole-block decode + slices wins
+            n_blk = int(self._his[b] - self._los[b] + 1)
+            if (int(b) in getattr(self, "_dec_cache", {})
+                    or sel.size * 20 >= n_blk):
+                dec = self._decoded_block(int(b))
+                nz = cnt > 0
+                if nz.any():
+                    cnz = cnt[nz]
+                    seg_starts = np.cumsum(cnz) - cnz
+                    intra = (np.arange(int(cnz.sum()), dtype=np.int64)
+                             - np.repeat(seg_starts, cnz))
+                    vals = dec[np.repeat(
+                        np.asarray(self._at(ip, k[nz]), dtype=np.int64), cnz
+                    ) + intra]
+                    per_block.append((orig_idx[nz], cnz, vals))
+                continue
             off_k = self._at(off, k)
             seg_lens = (self._at(off, k + 1) - off_k).astype(np.int64)
             total = int(seg_lens.sum())
@@ -237,6 +256,21 @@ def _block_reader_cls(codec: str):
     raise ValueError(f"unknown codec {codec!r}")
 
 
+def _block_lockstep_decoder(codec: str):
+    """The whole-block numpy lockstep decoder for a codec family
+    (bvdecode.py) — (stream, bit_offsets, node_lo, n_nodes, params) ->
+    node-grouped (src, dst) arrays."""
+    from webgraph_spark import bvdecode
+
+    if codec == "bv":
+        return bvdecode.decode_block
+    if codec in ("huff", "huffman"):
+        return bvdecode.decode_block_huff
+    if codec in ("zuck", "zuckerli"):
+        return bvdecode.decode_block_zuck
+    raise ValueError(f"unknown codec {codec!r}")
+
+
 class BvLocalIndex:
     """Random-access serving path over entropy-coded CSR blocks —
     build_csr_bv (default), build_csr_huff, or build_csr_zuck via the
@@ -251,20 +285,27 @@ class BvLocalIndex:
 
         reader_cls = _block_reader_cls(codec)
         rows = sorted(blocks_rows, key=lambda r: r["node_lo"])
+        self._codec = codec
         self._los = np.array([r["node_lo"] for r in rows], dtype=np.int64)
         self._his = np.array([r["node_hi"] for r in rows], dtype=np.int64)
-        self._readers = [
-            reader_cls(
-                bytes(r["stream"]),
-                np.asarray(r["bit_offsets"], dtype=np.int64),
-                BVGraphParams(nodes=int(r["n_nodes"]), arcs=int(r["n_edges"])),
-                node_base=int(r["node_lo"]),
-            )
+        self._streams = [bytes(r["stream"]) for r in rows]
+        self._bit_offs = [
+            np.asarray(r["bit_offsets"], dtype=np.int64) for r in rows
+        ]
+        self._params = [
+            BVGraphParams(nodes=int(r["n_nodes"]), arcs=int(r["n_edges"]))
             for r in rows
         ]
+        self._readers = [
+            reader_cls(s, o, p, node_base=int(lo))
+            for s, o, p, lo in zip(
+                self._streams, self._bit_offs, self._params, self._los
+            )
+        ]
+        self._dec_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.num_nodes = int(self._his[-1] + 1) if len(rows) else 0
         self.num_arcs = int(sum(r["n_edges"] for r in rows))
-        self.compressed_bytes = int(sum(len(bytes(r["stream"])) for r in rows))
+        self.compressed_bytes = int(sum(len(b) for b in self._streams))
 
     @classmethod
     def from_blocks(cls, blocks_df, codec: str = "bv") -> "BvLocalIndex":
@@ -288,18 +329,109 @@ class BvLocalIndex:
             return np.empty(0, dtype=np.int64)
         return np.asarray(self._readers[i].successors(x), dtype=np.int64)
 
+    def _decoded_block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """Memoized whole-block decode -> (indptr, flat dst), node-
+        grouped. First touch pays one numpy lockstep pass over the
+        block (bvdecode — the same kernel the distributed decode_csr_*
+        scans use); after that every list is an array slice. Trades
+        ~8 bytes/edge of RAM per touched block, like
+        CsrLocalIndex._decoded_block. Falls back to the scalar reader
+        if the block's coding set has no lockstep driver."""
+        hit = self._dec_cache.get(i)
+        if hit is None:
+            lo = int(self._los[i])
+            n = self._params[i].nodes
+            try:
+                src, dst = _block_lockstep_decoder(self._codec)(
+                    self._streams[i], self._bit_offs[i], lo, n,
+                    self._params[i],
+                )
+                counts = np.bincount(src - lo, minlength=n)
+            except ValueError:  # non-default coding set
+                lists = [
+                    np.asarray(self._readers[i].successors(lo + k),
+                               dtype=np.int64)
+                    for k in range(n)
+                ]
+                counts = np.array([a.size for a in lists], dtype=np.int64)
+                dst = (np.concatenate(lists) if counts.any()
+                       else np.empty(0, dtype=np.int64))
+            indptr = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(counts)]
+            ).astype(np.int64)
+            hit = (indptr, dst)
+            self._dec_cache[i] = hit
+        return hit
+
+    def successors_cached(self, x: int) -> np.ndarray:
+        """Point query against the decoded-block cache (slice-speed
+        after the block's first touch)."""
+        i = self._block_of(x)
+        if i < 0:
+            return np.empty(0, dtype=np.int64)
+        indptr, flat = self._decoded_block(i)
+        k = x - int(self._los[i])
+        return flat[int(indptr[k]):int(indptr[k + 1])]
+
+    def batch_successors(self, xs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized bulk random access over entropy-coded blocks:
+        returns (counts, concatenated successors) aligned with xs —
+        the same contract as CsrLocalIndex.batch_successors. Touched
+        blocks decode once through the lockstep kernel; per-query work
+        is pure numpy gather/scatter."""
+        xs = np.asarray(xs, dtype=np.int64)
+        counts = np.zeros(xs.size, dtype=np.int64)
+        order = np.argsort(xs, kind="stable")
+        xs_sorted = xs[order]
+        blk = np.searchsorted(self._los, xs_sorted, side="right") - 1
+        per_block: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for b in np.unique(blk):
+            if b < 0:
+                continue
+            sel = np.flatnonzero(blk == b)
+            sel = sel[xs_sorted[sel] <= self._his[b]]
+            if sel.size == 0:
+                continue
+            k = xs_sorted[sel] - self._los[b]
+            indptr, flat = self._decoded_block(int(b))
+            cnt = indptr[k + 1] - indptr[k]
+            orig_idx = order[sel]
+            counts[orig_idx] = cnt
+            nz = cnt > 0
+            if not nz.any():
+                continue
+            cnz = cnt[nz]
+            seg_starts = np.cumsum(cnz) - cnz
+            intra = (np.arange(int(cnz.sum()), dtype=np.int64)
+                     - np.repeat(seg_starts, cnz))
+            vals = flat[np.repeat(indptr[k][nz], cnz) + intra]
+            per_block.append((orig_idx[nz], cnz, vals))
+        out_starts = np.cumsum(counts) - counts
+        flat_out = np.empty(int(counts.sum()), dtype=np.int64)
+        for orig_idx, cnt, vals in per_block:
+            seg_starts = np.cumsum(cnt) - cnt
+            intra = (np.arange(vals.size, dtype=np.int64)
+                     - np.repeat(seg_starts, cnt))
+            flat_out[np.repeat(out_starts[orig_idx], cnt) + intra] = vals
+        return counts, flat_out
+
     def bench_random_queries(self, n_queries: int = 100_000, seed: int = 7) -> dict:
         rng = np.random.default_rng(seed)
         xs = rng.integers(0, self.num_nodes, size=n_queries).astype(np.int64)
+        sample = xs[: min(20_000, n_queries)]
         t0 = time.perf_counter()
         touched = 0
-        for x in xs:
+        for x in sample:
             touched += self.successors(int(x)).size
-        point_ns = (time.perf_counter() - t0) / n_queries * 1e9
+        point_ns = (time.perf_counter() - t0) / sample.size * 1e9
+        t0 = time.perf_counter()
+        counts, _flat = self.batch_successors(xs)
+        batch_ns = (time.perf_counter() - t0) / n_queries * 1e9
         return {
             "n_queries": int(n_queries),
             "point_ns_per_query": round(point_ns, 1),
-            "edges_touched": int(touched),
+            "batch_ns_per_query": round(batch_ns, 1),
+            "edges_touched": int(counts.sum()),
             "compressed_bytes_per_edge": round(
                 self.compressed_bytes / max(self.num_arcs, 1), 3
             ),
